@@ -1,0 +1,126 @@
+"""Device mesh / sharding core — the framework's distributed backend.
+
+The reference has **no** distributed communication backend (SURVEY.md §2.5:
+no torch.distributed / NCCL / MPI anywhere; only a ThreadPoolExecutor GPU
+fan-out in gan-model/preprocessing/preprocess.py:36-37 and a commented-out
+``nn.DataParallel``). The TPU-native replacement is this module: one
+``jax.sharding.Mesh`` with named ``data`` and ``model`` axes, shardings
+expressed as ``NamedSharding``/``PartitionSpec``, and XLA inserting the
+collectives (psum over ICI for data-parallel gradients, all-gather /
+reduce-scatter when the model axis is used).
+
+Every trainer in ``pipelines/`` goes through this module so the whole
+framework shares a single communication story. Multi-host extension:
+call ``jax.distributed.initialize()`` before ``build_mesh`` and the same
+code spans slices over DCN.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import MeshConfig
+
+
+@dataclass(frozen=True)
+class MeshSpec:
+    """Resolved mesh: axis names plus sizes."""
+
+    mesh: Mesh
+    data_axis: str
+    model_axis: str
+
+    @property
+    def data_size(self) -> int:
+        return self.mesh.shape[self.data_axis]
+
+    @property
+    def model_size(self) -> int:
+        return self.mesh.shape[self.model_axis]
+
+
+def build_mesh(
+    cfg: MeshConfig = MeshConfig(),
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> MeshSpec:
+    """Build a 2-D ``(data, model)`` mesh over the available devices.
+
+    ``data_parallel=-1`` consumes all devices not claimed by the model axis.
+    On a single chip this degenerates to a 1x1 mesh and every sharding
+    below becomes a no-op — the same trainer code runs anywhere.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    mp = max(1, cfg.model_parallel)
+    if n % mp != 0:
+        raise ValueError(f"model_parallel={mp} does not divide device count {n}")
+    dp = cfg.data_parallel if cfg.data_parallel > 0 else n // mp
+    if dp * mp != n:
+        raise ValueError(f"data_parallel*model_parallel = {dp * mp} != {n} devices")
+    arr = np.asarray(devices).reshape(dp, mp)
+    mesh = Mesh(arr, (cfg.data_axis, cfg.model_axis))
+    return MeshSpec(mesh=mesh, data_axis=cfg.data_axis, model_axis=cfg.model_axis)
+
+
+def batch_sharding(spec: MeshSpec, ndim: int = 1) -> NamedSharding:
+    """Shard axis 0 (batch) over the data axis; replicate the rest."""
+    parts = (spec.data_axis,) + (None,) * (ndim - 1)
+    return NamedSharding(spec.mesh, P(*parts))
+
+
+def replicated(spec: MeshSpec) -> NamedSharding:
+    return NamedSharding(spec.mesh, P())
+
+
+def shard_batch(spec: MeshSpec, batch):
+    """Place a pytree of host arrays on the mesh, batch-sharded on axis 0."""
+    def _put(x):
+        return jax.device_put(x, batch_sharding(spec, np.ndim(x)))
+
+    return jax.tree_util.tree_map(_put, batch)
+
+
+def param_partition_spec(path_leaf, spec: MeshSpec, model_shard_threshold: int = 2**22):
+    """Default parameter layout: replicate everything (pure DP).
+
+    With a >1 model axis, large 2-D kernels are sharded on their output
+    dimension over the model axis — the simple tensor-parallel layout for
+    the MLP/attention projection matrices in this repo's models.
+    """
+    leaf = path_leaf
+    if (
+        spec.model_size > 1
+        and hasattr(leaf, "ndim")
+        and leaf.ndim >= 2
+        and leaf.size >= model_shard_threshold
+        and leaf.shape[-1] % spec.model_size == 0
+    ):
+        parts = [None] * leaf.ndim
+        parts[-1] = spec.model_axis
+        return P(*parts)
+    return P()
+
+
+def shard_params(spec: MeshSpec, params):
+    """Place a parameter pytree on the mesh per ``param_partition_spec``."""
+    def _put(x):
+        return jax.device_put(x, NamedSharding(spec.mesh, param_partition_spec(x, spec)))
+
+    return jax.tree_util.tree_map(_put, params)
+
+
+def per_device_batch(global_batch: int, spec: MeshSpec) -> int:
+    if global_batch % spec.data_size != 0:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by data axis {spec.data_size}"
+        )
+    return global_batch // spec.data_size
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return int(math.ceil(n / m) * m)

@@ -1,0 +1,20 @@
+"""Test config: force an 8-device CPU mesh before JAX initializes.
+
+This is the standard JAX trick for testing pjit/sharding without TPU
+hardware (SURVEY.md §4): tests exercising multi-chip sharding see 8 virtual
+CPU devices; kernel-numerics tests just run on CPU.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
