@@ -1,0 +1,226 @@
+"""Flash attention as a Pallas TPU kernel.
+
+The shared attention primitive for the ViViT lipreader (SURVEY.md §7.5) and
+the diffusion U-Net's AttentionBlocks (reference:
+video-generation/diffusion/unet.py:271-406, which materializes the full
+(S, S) score matrix per head — QKVAttention). Here scores never hit HBM:
+the kernel streams K/V blocks through VMEM with an online-softmax
+accumulator, so memory is O(S·D) instead of O(S²) and the matmuls stay on
+the MXU in fp32 accumulation.
+
+Block-wise softmax also makes a future ring/sequence-parallel extension a
+mesh-axis change rather than a rewrite (SURVEY.md §5 long-context note).
+
+Gradients: ``flash_attention`` carries a custom VJP whose backward pass is
+the standard recompute-based flash backward expressed in plain XLA (exact,
+checkpoint-style recompute; the reference workloads' sequence lengths make
+a Pallas backward unnecessary for now).
+
+On non-TPU backends the same kernel runs in Pallas interpret mode (used by
+the CPU test suite); numerics match the XLA reference implementation.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["attention_reference", "flash_attention", "mha"]
+
+_NEG_INF = float(np.finfo(np.float32).min) / 2
+
+
+def attention_reference(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+) -> jax.Array:
+    """Plain-XLA softmax attention. q,k,v: (B, H, S, D). The numerics oracle
+    for the Pallas kernel and the fallback for tiny sequences."""
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * sm_scale
+    if causal:
+        s_q, s_k = logits.shape[-2], logits.shape[-1]
+        mask = jnp.tril(jnp.ones((s_q, s_k), dtype=bool), k=s_k - s_q)
+        logits = jnp.where(mask, logits, _NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+
+
+# ---------------------------------------------------------------------------
+# Pallas forward kernel
+# ---------------------------------------------------------------------------
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale, block_k, kv_len, causal, q_block):
+    """One (batch·head, q-block) program: stream K/V blocks, online softmax."""
+    q = q_ref[0].astype(jnp.float32) * sm_scale  # (block_q, D)
+    bq, d = q.shape
+    kv_pad = k_ref.shape[1]
+    num_kb = kv_pad // block_k
+
+    qi = pl.program_id(1)
+    q_pos = qi * q_block + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+
+    def body(kb, carry):
+        acc, m_prev, l_prev = carry
+        kv_start = kb * block_k
+        kblk = k_ref[0, pl.ds(kv_start, block_k), :].astype(jnp.float32)
+        vblk = v_ref[0, pl.ds(kv_start, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, kblk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (block_q, block_k)
+        k_pos = kv_start + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+        mask = k_pos < kv_len
+        if causal:
+            mask = mask & (k_pos <= q_pos)
+        s = jnp.where(mask, s, _NEG_INF)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, vblk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((bq, d), dtype=jnp.float32)
+    m0 = jnp.full((bq, 1), _NEG_INF, dtype=jnp.float32)
+    l0 = jnp.zeros((bq, 1), dtype=jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _pad_to(x: jax.Array, axis: int, mult: int) -> jax.Array:
+    size = x.shape[axis]
+    pad = (-size) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _flash_forward(
+    q, k, v, causal, sm_scale, block_q, block_k, interpret
+):
+    b, h, s_q, d = q.shape
+    s_k = k.shape[2]
+    out_dtype = q.dtype
+
+    block_q = min(block_q, max(8, 1 << (s_q - 1).bit_length()))
+    block_k = min(block_k, max(8, 1 << (s_k - 1).bit_length()))
+
+    # MXU-friendly padding: lanes (last dim) to 128, sequence to block size
+    d_pad = max(128, ((d + 127) // 128) * 128)
+    qp = _pad_to(_pad_to(q, 3, d_pad), 2, block_q).reshape(b * h, -1, d_pad)
+    kp = _pad_to(_pad_to(k, 3, d_pad), 2, block_k).reshape(b * h, -1, d_pad)
+    vp = _pad_to(_pad_to(v, 3, d_pad), 2, block_k).reshape(b * h, -1, d_pad)
+    sq_pad = qp.shape[1]
+    sk_pad = kp.shape[1]
+
+    grid = (b * h, sq_pad // block_q)
+    kernel = functools.partial(
+        _flash_kernel,
+        sm_scale=sm_scale,
+        block_k=block_k,
+        kv_len=s_k,
+        causal=causal,
+        q_block=block_q,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, sk_pad, d_pad), lambda bh, qi: (bh, 0, 0)),
+            pl.BlockSpec((1, sk_pad, d_pad), lambda bh, qi: (bh, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda bh, qi: (bh, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d_pad), out_dtype),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out.reshape(b, h, sq_pad, d_pad)[:, :, :s_q, :d]
+
+
+# ---------------------------------------------------------------------------
+# custom VJP: Pallas forward, XLA recompute backward
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash(q, k, v, causal, sm_scale, block_q, block_k, interpret):
+    return _flash_forward(q, k, v, causal, sm_scale, block_q, block_k, interpret)
+
+
+def _flash_fwd(q, k, v, causal, sm_scale, block_q, block_k, interpret):
+    out = _flash_forward(q, k, v, causal, sm_scale, block_q, block_k, interpret)
+    return out, (q, k, v)
+
+
+def _flash_bwd(causal, sm_scale, block_q, block_k, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: attention_reference(q_, k_, v_, causal, sm_scale), q, k, v)
+    return vjp(g)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Flash attention over (B, H, S, D) tensors.
+
+    Uses the Pallas TPU kernel when S is large enough to benefit; for tiny
+    sequences (the 80-token ViViT case) the XLA reference path is faster
+    than kernel launch + padding overhead, so we dispatch on size.
+    """
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    s_q, s_k = q.shape[2], k.shape[2]
+    if s_q * s_k <= 128 * 128:
+        return attention_reference(q, k, v, causal, sm_scale)
+    return _flash(q, k, v, causal, sm_scale, block_q, block_k, interpret)
+
+
+def mha(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    num_heads: int,
+    causal: bool = False,
+    use_flash: bool = True,
+) -> jax.Array:
+    """Multi-head attention over (B, S, E) inputs: split heads, attend,
+    merge. The convenience wrapper models use."""
+    b, s_q, e = q.shape
+    s_k = k.shape[1]
+    hd = e // num_heads
+
+    def split(x, s):
+        return x.reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = split(q, s_q), split(k, s_k), split(v, s_k)
+    if use_flash:
+        out = flash_attention(qh, kh, vh, causal=causal)
+    else:
+        out = attention_reference(qh, kh, vh, causal=causal)
+    return out.transpose(0, 2, 1, 3).reshape(b, s_q, e)

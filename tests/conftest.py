@@ -14,6 +14,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+import jax  # noqa: E402
+
+# JAX 0.9 defaults f32 matmuls to bf16-grade precision even on CPU; tests
+# compare against float64/numpy goldens, so pin full fp32 matmul precision.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 
 @pytest.fixture
 def rng():

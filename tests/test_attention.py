@@ -1,0 +1,91 @@
+"""Flash-attention kernel vs XLA reference (kernel runs in Pallas interpret
+mode on CPU)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lipreading_video_generation_tpu.ops.attention import (
+    attention_reference,
+    flash_attention,
+    mha,
+)
+
+
+def _qkv(rng, b=2, h=2, s=256, d=32, dtype=np.float32):
+    q = rng.standard_normal((b, h, s, d)).astype(dtype)
+    k = rng.standard_normal((b, h, s, d)).astype(dtype)
+    v = rng.standard_normal((b, h, s, d)).astype(dtype)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+def test_flash_matches_reference(rng):
+    q, k, v = _qkv(rng)
+    got = flash_attention(q, k, v, interpret=True)
+    want = attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4)
+
+
+def test_flash_causal(rng):
+    q, k, v = _qkv(rng, s=192)
+    got = flash_attention(q, k, v, causal=True, interpret=True)
+    want = attention_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4)
+
+
+def test_flash_ragged_seq_len(rng):
+    # sequence not a multiple of block size → padding + key masking path
+    q, k, v = _qkv(rng, s=200)
+    got = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    want = attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4)
+
+
+def test_flash_cross_attention(rng):
+    q = jnp.asarray(rng.standard_normal((1, 4, 160, 32)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 4, 320, 32)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 4, 320, 32)).astype(np.float32))
+    got = flash_attention(q, k, v, interpret=True)
+    want = attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4)
+
+
+def test_flash_gradients_match(rng):
+    q, k, v = _qkv(rng, b=1, h=1, s=160, d=16)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, interpret=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
+
+
+def test_small_seq_dispatches_to_reference(rng):
+    # 80-token ViViT case: exact equality with reference (same code path)
+    q, k, v = _qkv(rng, s=80)
+    got = flash_attention(q, k, v)
+    want = attention_reference(q, k, v)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_mha_shapes(rng):
+    x = jnp.asarray(rng.standard_normal((2, 80, 256)).astype(np.float32))
+    out = mha(x, x, x, num_heads=8)
+    assert out.shape == (2, 80, 256)
+
+
+def test_flash_bf16(rng):
+    q, k, v = _qkv(rng, s=256, dtype=np.float32)
+    q, k, v = q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
+    got = flash_attention(q, k, v, interpret=True)
+    want = attention_reference(q, k, v)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, dtype=np.float32), np.asarray(want, dtype=np.float32), rtol=5e-2, atol=5e-2
+    )
