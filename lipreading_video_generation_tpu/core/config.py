@@ -94,6 +94,7 @@ class GanConfig:
     eval_interval: int = 9000
     num_epochs: int = 10**6     # train until stopped, like the reference
     dtype: str = "bfloat16"
+    model_width: float = 1.0    # channel multiplier (1.0 = reference plan)
 
 
 @dataclass(frozen=True)

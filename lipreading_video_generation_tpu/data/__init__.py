@@ -1,0 +1,1 @@
+from . import manifest, video, datasets, loader  # noqa: F401

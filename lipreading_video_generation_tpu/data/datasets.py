@@ -1,0 +1,303 @@
+"""Dataset samplers: fixed-shape numpy batches for the device pipelines.
+
+Host-side analogs of the reference's torch Datasets, with the idiom shifts
+from SURVEY.md §7: deterministic PRNG-seeded sampling instead of
+``while 1`` resample-on-failure loops (gan-model/preprocessing/
+dataset.py:106-155), validated manifests, and **device-side** heavy
+preprocessing — the host only decodes and windows uint8 frames; resize /
+normalize / mel / masking happen under jit in the train step.
+
+Also includes synthetic-data factories used by tests and benchmarks: the
+environment (like CI) has no LRS2 tree, and the model/bench behavior is
+shape-driven.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .manifest import ClipRecord, word_windows
+from .video import load_wav, read_video_frames
+
+
+# ---------------------------------------------------------------------------
+# FrameItem index (video-generation/preprocessing/extract_video_frames.py)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class FrameItem:
+    """(video_path, frame_start, frame_end) — diffusion frame-pair record
+    (video-generation/dataset.py:43-47)."""
+
+    video_path: str
+    frame_start: int
+    frame_end: int
+
+
+def build_frame_index(
+    video_paths: Sequence[str],
+    step: int = 6,
+    fps_effective: float = 30.0,
+) -> List[FrameItem]:
+    """Scan videos → frame-pair records at an effective stride, the
+    extract_video_frames.py:15-111 equivalent (arrays, not pickles — but a
+    pickle writer is provided for interop)."""
+    from .video import video_frame_count
+
+    items: List[FrameItem] = []
+    for path in video_paths:
+        n = video_frame_count(path)
+        for start in range(0, max(0, n - step), step):
+            items.append(FrameItem(path, start, start + step))
+    return items
+
+
+def save_frame_index(items: Sequence[FrameItem], path: str) -> None:
+    with open(path, "wb") as f:
+        pickle.dump([(it.video_path, it.frame_start, it.frame_end) for it in items], f)
+
+
+def load_frame_index(path: str) -> List[FrameItem]:
+    with open(path, "rb") as f:
+        raw = pickle.load(f)
+    out = []
+    for item in raw:
+        if isinstance(item, FrameItem):
+            out.append(item)
+        elif isinstance(item, (tuple, list)):
+            out.append(FrameItem(*item))
+        else:  # objects from the reference's pickles
+            out.append(FrameItem(item.video_path, item.frame_start, item.frame_end))
+    return out
+
+
+def split_records(
+    items: Sequence, train: float = 0.8, val: float = 0.1, seed: int = 0
+) -> Tuple[list, list, list]:
+    """Deterministic 80/10/10 split (video-generation/dataset.py:231-243)."""
+    rng = np.random.default_rng(seed)
+    idx = rng.permutation(len(items))
+    n_train = int(train * len(items))
+    n_val = int(val * len(items))
+    pick = lambda ids: [items[i] for i in ids]
+    return (
+        pick(idx[:n_train]),
+        pick(idx[n_train : n_train + n_val]),
+        pick(idx[n_train + n_val :]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GAN window dataset (gan-model/preprocessing/dataset.py:20-171)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class GanClip:
+    """One preprocessed clip: face-crop frames + raw waveform."""
+
+    frames: np.ndarray  # (T, H, W, 3) uint8 face crops
+    wav: np.ndarray     # float32 @ 16 kHz
+
+
+class GanWindowSampler:
+    """Samples {window, wrong_window, start_frame} batches.
+
+    Semantics of Dataset.__getitem__ (dataset.py:106-168): a random clip, a
+    random ``syncnet_T``-frame window plus an independent "wrong" reference
+    window from the same clip; mel cropping / resizing / masking happen on
+    device (ops/audio.mel_windows, ops/image.mask_lower_half). Failure
+    handling is up-front validation, not resampling.
+    """
+
+    def __init__(self, clips: Sequence[GanClip], syncnet_T: int = 5, seed: int = 0):
+        self.clips = [c for c in clips if len(c.frames) >= 3 * syncnet_T]
+        if not self.clips:
+            raise ValueError("no clip long enough for windowed sampling")
+        self.T = syncnet_T
+        self.rng = np.random.default_rng(seed)
+
+    def sample_batch(self, batch_size: int) -> Dict[str, np.ndarray]:
+        windows, wrongs, starts, wavs = [], [], [], []
+        max_wav = max(len(c.wav) for c in self.clips)
+        for _ in range(batch_size):
+            clip = self.clips[self.rng.integers(len(self.clips))]
+            n = len(clip.frames)
+            start = int(self.rng.integers(0, n - self.T + 1))
+            wrong = int(self.rng.integers(0, n - self.T + 1))
+            while wrong == start and n > self.T:
+                wrong = int(self.rng.integers(0, n - self.T + 1))
+            windows.append(clip.frames[start : start + self.T])
+            wrongs.append(clip.frames[wrong : wrong + self.T])
+            starts.append(start)
+            wavs.append(np.pad(clip.wav, (0, max_wav - len(clip.wav))))
+        return {
+            "window": np.stack(windows),          # (B, T, H, W, 3) uint8
+            "wrong_window": np.stack(wrongs),     # (B, T, H, W, 3) uint8
+            "start_frame": np.asarray(starts, np.int32),
+            "wav": np.stack(wavs).astype(np.float32),
+        }
+
+
+def load_gan_clip(frames_dir: str, img_size: Optional[int] = None) -> GanClip:
+    """Read a preprocessed clip dir of ``{i}.jpg`` + ``audio.wav`` — the
+    layout written by gan-model/preprocessing/preprocess.py:42-76."""
+    import cv2
+
+    names = sorted(
+        (f for f in os.listdir(frames_dir) if f.endswith(".jpg")),
+        key=lambda f: int(os.path.splitext(f)[0]),
+    )
+    frames = []
+    for name in names:
+        img = cv2.imread(os.path.join(frames_dir, name))[:, :, ::-1]
+        if img_size is not None:
+            img = cv2.resize(img, (img_size, img_size))
+        frames.append(img)
+    wav = load_wav(os.path.join(frames_dir, "audio.wav"))
+    return GanClip(np.stack(frames), wav)
+
+
+# ---------------------------------------------------------------------------
+# Diffusion frame-pair dataset (video-generation/dataset.py:84-136)
+# ---------------------------------------------------------------------------
+
+class DiffusionPairSampler:
+    """FrameItem → (cond frame 0, target frame_end, aligned audio slice).
+
+    Audio window: ``buffer_frames`` frames before the target at the video
+    fps, padded/truncated to ``audio_samples`` @16 kHz (dataset.py:51-66,
+    125); the reference's 300 Hz high-pass + mean/std normalize
+    (dataset.py:30-41) runs on device in the train step (ops level).
+    """
+
+    def __init__(
+        self,
+        items: Sequence[FrameItem],
+        audio_samples: int = 4000,
+        buffer_frames: int = 5,
+        fps: float = 25.0,
+        seed: int = 0,
+        cache_size: int = 64,
+    ):
+        self.items = list(items)
+        self.audio_samples = audio_samples
+        self.buffer_frames = buffer_frames
+        self.fps = fps
+        self.rng = np.random.default_rng(seed)
+        self._cache: Dict[str, Tuple[np.ndarray, np.ndarray, float]] = {}
+        self._cache_size = cache_size
+
+    def _load(self, path: str):
+        if path not in self._cache:
+            if len(self._cache) >= self._cache_size:
+                self._cache.pop(next(iter(self._cache)))
+            frames, fps = read_video_frames(path)
+            wav_path = os.path.splitext(path)[0] + ".wav"
+            wav = load_wav(wav_path) if os.path.exists(wav_path) else np.zeros(16000, np.float32)
+            self._cache[path] = (frames, wav, fps)
+        return self._cache[path]
+
+    def get(self, item: FrameItem) -> Dict[str, np.ndarray]:
+        frames, wav, fps = self._load(item.video_path)
+        t_end = min(item.frame_end, len(frames) - 1)
+        cond = frames[min(item.frame_start, len(frames) - 1)]
+        target = frames[t_end]
+        # audio slice: buffer_frames before target (dataset.py:51-66)
+        sr = 16000
+        start_s = max(0.0, (t_end - self.buffer_frames) / fps)
+        start = int(start_s * sr)
+        sl = wav[start : start + self.audio_samples]
+        sl = np.pad(sl, (0, self.audio_samples - len(sl)))
+        return {"cond_frame": cond, "target_frame": target, "audio": sl.astype(np.float32)}
+
+    def sample_batch(self, batch_size: int) -> Dict[str, np.ndarray]:
+        picks = self.rng.integers(0, len(self.items), batch_size)
+        rows = [self.get(self.items[i]) for i in picks]
+        return {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+
+
+# ---------------------------------------------------------------------------
+# Lipreading word-clip dataset (lipreading/get_data.py:22-60)
+# ---------------------------------------------------------------------------
+
+class WordClipSampler:
+    """Per-word mouth-ROI windows → fixed (T, H, W) uint8 clips + label ids.
+
+    The host supplies cropped mouth frames (via pipelines/preprocess);
+    clips shorter than ``max_frames`` are zero-padded like
+    prepare_all_videos (lipreading/feature_extraction.py:60-77).
+    """
+
+    def __init__(
+        self,
+        clips: Sequence[np.ndarray],   # each (t, H, W) or (t, H, W, C) uint8
+        labels: Sequence[int],
+        max_frames: int = 5,
+        seed: int = 0,
+    ):
+        assert len(clips) == len(labels)
+        self.clips = list(clips)
+        self.labels = np.asarray(labels, np.int32)
+        self.max_frames = max_frames
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return len(self.clips)
+
+    def _fix(self, clip: np.ndarray) -> np.ndarray:
+        if clip.ndim == 3:
+            clip = clip[..., None]
+        t = len(clip)
+        if t >= self.max_frames:
+            return clip[: self.max_frames]
+        pad = np.zeros((self.max_frames - t,) + clip.shape[1:], clip.dtype)
+        return np.concatenate([clip, pad])
+
+    def batches(self, batch_size: int, shuffle: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+        idx = np.arange(len(self.clips))
+        if shuffle:
+            self.rng.shuffle(idx)
+        for i in range(0, len(idx) - batch_size + 1, batch_size):
+            pick = idx[i : i + batch_size]
+            yield {
+                "clips": np.stack([self._fix(self.clips[j]) for j in pick]),
+                "labels": self.labels[pick],
+            }
+
+
+# ---------------------------------------------------------------------------
+# Synthetic data (tests / benches; no LRS2 in the environment)
+# ---------------------------------------------------------------------------
+
+def synthetic_gan_clips(
+    n_clips: int = 4, frames: int = 25, img: int = 96, seed: int = 0
+) -> List[GanClip]:
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n_clips):
+        f = rng.integers(0, 256, (frames, img, img, 3), dtype=np.uint8)
+        wav = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+        out.append(GanClip(f, wav))
+    return out
+
+
+def synthetic_word_clips(
+    n: int = 64, t: int = 5, hw: int = 32, num_classes: int = 8, seed: int = 0
+):
+    """Clips whose mean brightness encodes the label — linearly separable,
+    so training-convergence smoke tests can assert learning."""
+    rng = np.random.default_rng(seed)
+    clips, labels = [], []
+    for i in range(n):
+        label = int(rng.integers(num_classes))
+        base = 255.0 * (label + 0.5) / num_classes
+        clip = np.clip(
+            rng.normal(base, 20.0, (t, hw, hw)), 0, 255
+        ).astype(np.uint8)
+        clips.append(clip)
+        labels.append(label)
+    return clips, labels

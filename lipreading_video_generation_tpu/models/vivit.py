@@ -1,0 +1,104 @@
+"""ViViT word-level lipreading classifier.
+
+TPU-native redesign of the reference's HF-ViViT wrapper
+(lipreading/huggingface_vivit_model.py:18-33 — VivitModel with
+image_size=32, num_channels=1, hidden_size=256, 8 heads, config at
+lipreading/main.py:59-60) as a Flax ViViT: tubelet embedding (3-D conv
+patchify), learned positional embeddings, pre-LN transformer encoder whose
+attention runs through the shared flash-attention primitive, mean-pool over
+tokens, linear classifier head (the reference mean-pools
+last_hidden_state too, huggingface_vivit_model.py:29-32).
+
+Input: (B, T, H, W, C) mouth-ROI clips, normalized float. The reference's
+(N, 5, 1, 32, 32) NCTHW layout becomes NTHWC.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.config import ViViTConfig
+from .layers import TransformerBlock
+
+
+class TubeletEmbed(nn.Module):
+    """3-D conv patchify: (B, T, H, W, C) → (B, N_tokens, hidden)."""
+
+    hidden_size: int
+    tubelet: tuple
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        tt, th, tw = self.tubelet
+        x = nn.Conv(
+            self.hidden_size,
+            kernel_size=(tt, th, tw),
+            strides=(tt, th, tw),
+            padding="VALID",
+            dtype=self.dtype,
+        )(x)
+        b = x.shape[0]
+        return x.reshape(b, -1, self.hidden_size)
+
+
+class ViViT(nn.Module):
+    cfg: ViViTConfig
+
+    @nn.compact
+    def __call__(self, clips: jax.Array, deterministic: bool = True) -> jax.Array:
+        """clips (B, T, H, W, C) → logits (B, num_classes)."""
+        c = self.cfg
+        dtype = jnp.dtype(c.dtype)
+        x = TubeletEmbed(c.hidden_size, c.tubelet_size, dtype=dtype)(clips.astype(dtype))
+        n_tokens = x.shape[1]
+        pos = self.param(
+            "pos_embedding",
+            nn.initializers.normal(0.02),
+            (1, n_tokens, c.hidden_size),
+            jnp.float32,
+        )
+        x = x + pos.astype(dtype)
+        x = nn.Dropout(c.dropout)(x, deterministic=deterministic)
+        for i in range(c.num_layers):
+            x = TransformerBlock(
+                c.num_heads, c.mlp_dim, c.dropout, dtype=dtype, name=f"block_{i}"
+            )(x, deterministic)
+        x = nn.LayerNorm(dtype=dtype)(x)
+        x = x.mean(axis=1)
+        return nn.Dense(c.num_classes, dtype=jnp.float32, name="head")(x)
+
+
+class FeatureTransformer(nn.Module):
+    """Classifier over precomputed per-frame CNN features.
+
+    Redesign of the Keras video transformer
+    (lipreading/keras_vivit_model.py:17-125): learned per-frame positional
+    embedding (:17-33), ``num_layers`` encoder blocks (2 active of 4 defined,
+    :95-100) with GELU FFN, global max-pool over time + dropout + softmax
+    head (:101-104). Input (B, T, num_features) DenseNet-style features
+    (lipreading/feature_extraction.py:22-93's (N, 5, 1024) tensors).
+    """
+
+    num_classes: int
+    dense_dim: int = 4
+    num_heads: int = 2
+    num_layers: int = 2
+    dropout: float = 0.3
+    head_dropout: float = 0.5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: jax.Array, deterministic: bool = True) -> jax.Array:
+        b, t, e = feats.shape
+        x = feats.astype(self.dtype)
+        pos = self.param("pos_embedding", nn.initializers.normal(0.02), (1, t, e), jnp.float32)
+        x = x + pos.astype(self.dtype)
+        for i in range(self.num_layers):
+            x = TransformerBlock(
+                self.num_heads, self.dense_dim, self.dropout, dtype=self.dtype, name=f"block_{i}"
+            )(x, deterministic)
+        x = x.max(axis=1)
+        x = nn.Dropout(self.head_dropout)(x, deterministic=deterministic)
+        return nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(x)

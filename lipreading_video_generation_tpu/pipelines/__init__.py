@@ -1,0 +1,12 @@
+from . import (  # noqa: F401
+    losses,
+    train_vivit,
+    train_gan,
+    train_syncnet,
+    train_diffusion,
+    sample_diffusion,
+    preprocess,
+    inference,
+    sentence_eval,
+    phonetics,
+)

@@ -1,0 +1,183 @@
+"""Lip-sync video inference: face track → generate → paste back → mux.
+
+Capability target: gan-model/inference.py:183-279 — read video frames,
+extract audio → mel, chunk mels at 80/fps steps with 16-wide windows
+(:233-244), S3FD face detection with temporal box smoothing T=5 (:61-68,
+70-108), batched masked+reference 6-channel generator inputs (:110-156),
+no-grad generation, paste-back into the full frames (:267-274), audio mux
+(:278-279).
+
+TPU pipeline shape: host decodes frames once; face detection, crop/resize,
+mel chunking, generation, and ROI paste-back run as batched jitted device
+programs; only the final video encode + mux return to host. The OOM-halving
+retry (:76-87) is unnecessary — batch sizes are static and chosen up front.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import AudioConfig, GanConfig, PreprocessConfig
+from ..models.generator import TalkingFaceGenerator
+from ..models.s3fd import S3FD, detect_faces
+from ..ops import audio as audio_ops
+from ..ops import image as image_ops
+from ..data import video as video_io
+
+
+@dataclasses.dataclass
+class InferenceResult:
+    frames: np.ndarray          # (T, H, W, 3) uint8 output frames
+    boxes: np.ndarray           # (T, 4) face boxes used
+    muxed: bool                 # audio remux success
+
+
+def detect_face_tracks(
+    s3fd_params,
+    frames: np.ndarray,
+    cfg: PreprocessConfig = PreprocessConfig(),
+) -> np.ndarray:
+    """Batched S3FD over all frames → smoothed (T, 4) boxes (y1, y2, x1, x2).
+
+    face_detect + get_smoothened_boxes (inference.py:61-108). Frames with no
+    detection inherit the previous frame's box (the reference hard-errors,
+    inference.py:92-94; tracking through dropouts is strictly better).
+    """
+    model = S3FD()
+    t = len(frames)
+    bs = cfg.face_det_batch_size
+    all_boxes = []
+    all_valid = []
+    bgr = frames[..., ::-1].astype(np.float32)
+    for i in range(0, t, bs):
+        chunk = bgr[i : i + bs]
+        pad = bs - len(chunk)
+        if pad:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+        boxes, scores, valid = detect_faces(
+            model, s3fd_params, jnp.asarray(chunk),
+            score_threshold=cfg.face_det_score_threshold,
+            nms_threshold=cfg.nms_threshold,
+        )
+        boxes, valid = np.asarray(boxes), np.asarray(valid)
+        n = len(frames[i : i + bs])
+        all_boxes.append(boxes[:n, 0])   # best face per frame
+        all_valid.append(valid[:n, 0])
+    boxes = np.concatenate(all_boxes)    # (T, 4) x1y1x2y2
+    valid = np.concatenate(all_valid)
+    # carry-forward fill for undetected frames
+    last = None
+    for i in range(t):
+        if valid[i]:
+            last = boxes[i]
+        elif last is not None:
+            boxes[i] = last
+    first_valid = np.argmax(valid) if valid.any() else None
+    if first_valid is None:
+        h, w = frames.shape[1:3]
+        boxes[:] = [0, 0, w - 1, h - 1]
+    else:
+        boxes[:first_valid] = boxes[first_valid]
+    # x1y1x2y2 → y1 y2 x1 x2 and temporal smoothing (inference.py:61-68)
+    yx = np.stack([boxes[:, 1], boxes[:, 3], boxes[:, 0], boxes[:, 2]], axis=1)
+    return np.asarray(image_ops.smooth_boxes(jnp.asarray(yx), cfg.box_smooth_T))
+
+
+def _mel_chunks(mel: jnp.ndarray, num_frames: int, fps: float, audio_cfg: AudioConfig,
+                mel_step: int = 16) -> jnp.ndarray:
+    """(80, T_mel) → (num_frames, 80, 16) aligned windows, wrapping the
+    frame index like the reference's idx loop (inference.py:233-244)."""
+    starts = jnp.arange(num_frames, dtype=jnp.float32)
+    return audio_ops.mel_windows(
+        mel, starts, fps, mel_step, audio_cfg.sample_rate, audio_cfg.hop_size
+    )
+
+
+def paste_back(frame: jax.Array, roi: jax.Array, box: jax.Array) -> jax.Array:
+    """Resize generated ROI to the face box and paste into the full frame —
+    the emb_roi2im/paste step (inference.py:267-271) as a jit-safe
+    scatter-style composite with traced box coordinates."""
+    H, W = frame.shape[0], frame.shape[1]
+    y1, y2, x1, x2 = box[0], box[1], box[2], box[3]
+    # sample the ROI at every full-frame pixel that falls inside the box
+    ys = (jnp.arange(H, dtype=jnp.float32) - y1) / jnp.maximum(y2 - y1, 1.0) * roi.shape[0] - 0.5
+    xs = (jnp.arange(W, dtype=jnp.float32) - x1) / jnp.maximum(x2 - x1, 1.0) * roi.shape[1] - 0.5
+    resized = image_ops._bilinear_sample(roi.astype(jnp.float32), ys, xs)
+    row = jnp.arange(H, dtype=jnp.float32)[:, None, None]
+    col = jnp.arange(W, dtype=jnp.float32)[None, :, None]
+    inside = (row >= y1) & (row < y2) & (col >= x1) & (col < x2)
+    return jnp.where(inside, resized, frame.astype(jnp.float32))
+
+
+def lipsync_video(
+    gen_params,
+    s3fd_params,
+    face_video: str,
+    audio_path: str,
+    out_path: str,
+    gan_cfg: GanConfig = GanConfig(),
+    audio_cfg: AudioConfig = AudioConfig(),
+    pre_cfg: PreprocessConfig = PreprocessConfig(),
+    static_frame: bool = False,
+    model_width: float = 1.0,
+) -> InferenceResult:
+    """End-to-end lip-sync (main, inference.py:183-279)."""
+    frames, fps = video_io.read_video_frames(face_video)
+    if static_frame:
+        frames = np.repeat(frames[:1], len(frames), 0)
+    wav = video_io.load_wav(audio_path, audio_cfg.sample_rate)
+    mel = audio_ops.melspectrogram(jnp.asarray(wav), audio_cfg)
+    if not np.isfinite(np.asarray(mel)).all():
+        raise ValueError("mel contains NaN/inf (inference.py:230 guard)")
+
+    # number of output frames = audio length at video fps (reference loops
+    # mel chunks and wraps frames; we cap at frame count and wrap frames)
+    num_out = int(np.asarray(mel).shape[-1] / audio_cfg.mel_step_per_frame / 25.0 * fps)
+    num_out = max(1, min(num_out, int(len(wav) / audio_cfg.sample_rate * fps)))
+    frame_ids = np.arange(num_out) % len(frames)
+    frames_seq = frames[frame_ids]
+
+    boxes = detect_face_tracks(s3fd_params, frames_seq, pre_cfg)
+
+    mel_windows = _mel_chunks(mel, num_out, fps, audio_cfg)  # (N, 80, 16)
+
+    gen = TalkingFaceGenerator(width=model_width)
+    img = gan_cfg.img_size
+
+    @jax.jit
+    def gen_batch(frames_u8, boxes_b, mels):
+        crops = jax.vmap(
+            lambda f, b: image_ops.crop_and_resize(f, b, (img, img))
+        )(frames_u8.astype(jnp.float32), boxes_b)
+        faces = crops / 255.0
+        masked = image_ops.mask_lower_half(faces)
+        x = image_ops.concat_reference(masked, faces)  # ref = current frame (inference.py:123-156)
+        g = gen.apply({"params": gen_params}, mels[..., None], x)
+        out = jax.vmap(paste_back)(frames_u8.astype(jnp.float32), g * 255.0, boxes_b)
+        return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+
+    bs = pre_cfg.gen_batch_size
+    outs = []
+    for i in range(0, num_out, bs):
+        fb = frames_seq[i : i + bs]
+        bb = boxes[i : i + bs]
+        mb = np.asarray(mel_windows[i : i + bs])
+        pad = bs - len(fb)
+        if pad:
+            fb = np.concatenate([fb, np.repeat(fb[-1:], pad, 0)])
+            bb = np.concatenate([bb, np.repeat(bb[-1:], pad, 0)])
+            mb = np.concatenate([mb, np.repeat(mb[-1:], pad, 0)])
+        out = np.asarray(gen_batch(jnp.asarray(fb), jnp.asarray(bb), jnp.asarray(mb)))
+        outs.append(out[: len(frames_seq[i : i + bs])])
+    result = np.concatenate(outs)
+
+    tmp_video = out_path + ".silent.mp4"
+    video_io.write_video(tmp_video, result, fps)
+    wav_tmp = out_path + ".wav"
+    video_io.save_wav(wav_tmp, wav, audio_cfg.sample_rate)
+    muxed = video_io.mux_audio(tmp_video, wav_tmp, out_path)
+    return InferenceResult(frames=result, boxes=boxes, muxed=muxed)

@@ -1,0 +1,113 @@
+"""Loss functions for all three workloads, as pure jittable functions.
+
+Parity map:
+- ``cosine_bce_sync_loss`` ↔ get_sync_loss / cosine_loss
+  (gan-model/train_lipreading.py:70-89): BCE(cosine-sim(audio_emb,
+  face_emb), 1).
+- ``generator_loss`` ↔ the composite G objective (train_lipreading.py:
+  135-138): lip_weight·lip + syncnet_wt·sync + disc_wt·perceptual +
+  (1−syncnet_wt−disc_wt)·L1.
+- ``discriminator_loss`` ↔ the D real/fake BCE steps (:140-151);
+  ``perceptual_adversarial_loss`` ↔ Discriminator.perceptual_forward
+  (discriminator.py:42-53).
+- ``noise_mse`` ↔ the diffusion ε-MSE (video-generation/diffusion/
+  train.py:102-134).
+- ``softmax_xent`` ↔ the ViViT CE objective (lipreading/
+  huggingface_vivit_model.py:45,60).
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+EPS = 1e-7
+
+
+def bce(pred: jax.Array, target: jax.Array) -> jax.Array:
+    """Binary cross-entropy over probabilities (torch F.binary_cross_entropy)."""
+    p = jnp.clip(pred, EPS, 1.0 - EPS)
+    return -jnp.mean(target * jnp.log(p) + (1.0 - target) * jnp.log(1.0 - p))
+
+
+def l1(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.mean(jnp.abs(a - b))
+
+
+def softmax_xent(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+
+def accuracy(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    return jnp.mean((jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32))
+
+
+def cosine_bce_sync_loss(audio_emb: jax.Array, face_emb: jax.Array) -> jax.Array:
+    """BCE(cos-sim, 1) over L2-normalized (B, 512) embeddings
+    (train_lipreading.py:70-76 cosine_loss with y=ones)."""
+    sim = jnp.sum(audio_emb * face_emb, axis=-1)  # embeddings are unit-norm
+    sim01 = jnp.clip((sim + 1.0) * 0.5, EPS, 1.0 - EPS)  # map [-1,1]→(0,1)
+    return -jnp.mean(jnp.log(sim01))
+
+
+def syncnet_contrastive_loss(
+    audio_emb: jax.Array, face_emb: jax.Array, y: jax.Array
+) -> jax.Array:
+    """BCE(cos-sim, y) for SyncNet pretraining with positive/negative pairs
+    (the Wav2Lip syncnet objective the reference's expert was trained
+    with; y ∈ {0,1} per pair)."""
+    sim = jnp.sum(audio_emb * face_emb, axis=-1)
+    sim01 = jnp.clip((sim + 1.0) * 0.5, EPS, 1.0 - EPS)
+    return -jnp.mean(y * jnp.log(sim01) + (1.0 - y) * jnp.log(1.0 - sim01))
+
+
+def perceptual_adversarial_loss(fake_pred: jax.Array) -> jax.Array:
+    """Generator-side adversarial term: BCE(D(fake), 1)
+    (discriminator.py:42-53)."""
+    return bce(fake_pred, jnp.ones_like(fake_pred))
+
+
+def discriminator_loss(real_pred: jax.Array, fake_pred: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(BCE(D(real),1), BCE(D(fake),0)) (train_lipreading.py:140-151)."""
+    return bce(real_pred, jnp.ones_like(real_pred)), bce(fake_pred, jnp.zeros_like(fake_pred))
+
+
+def generator_loss(
+    l1_recon: jax.Array,
+    sync: jax.Array,
+    perceptual: jax.Array,
+    lip: jax.Array,
+    syncnet_wt: jax.Array,
+    disc_wt: float,
+    lip_weight: float,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Composite G loss (train_lipreading.py:135-138). ``syncnet_wt`` is a
+    traced scalar from the train state — the mid-training 0→0.03 gate
+    (params.py:78, train_lipreading.py:191-192) without config mutation."""
+    total = (
+        lip_weight * lip
+        + syncnet_wt * sync
+        + disc_wt * perceptual
+        + (1.0 - syncnet_wt - disc_wt) * l1_recon
+    )
+    return total, {
+        "loss/g_total": total,
+        "loss/l1": l1_recon,
+        "loss/sync": sync,
+        "loss/perceptual": perceptual,
+        "loss/lip": lip,
+        "syncnet_wt": syncnet_wt,
+    }
+
+
+def noise_mse(noise_pred: jax.Array, noise: jax.Array) -> jax.Array:
+    return jnp.mean((noise_pred.astype(jnp.float32) - noise.astype(jnp.float32)) ** 2)
+
+
+def psnr(a: jax.Array, b: jax.Array, max_val: float = 1.0) -> jax.Array:
+    """Peak signal-to-noise ratio — the generated-frame parity metric
+    (BASELINE.md north star)."""
+    mse = jnp.mean((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2)
+    return 10.0 * jnp.log10(max_val**2 / jnp.maximum(mse, 1e-12))

@@ -1,0 +1,118 @@
+"""Conditional-DDPM training step.
+
+Capability target: video-generation/diffusion/train.py:31-142 — q-sample
+noisy frames, predict ε with the audio+image-conditioned U-Net, MSE.
+Fixes inherited, not ported: t is sampled in [0, num_timesteps) (the
+reference sampled [0,500) against a 100-step schedule, train.py:125), and
+the lr default is sane (the reference's Adam lr 1e-2, train.py:102).
+
+Audio is normalized on device (the 300 Hz high-pass + mean/std normalize of
+dataset.py:30-41 expressed as an FIR high-pass + standardization inside the
+jitted step).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core import prng
+from ..core.config import DiffusionConfig
+from ..models.schedulers import make_scheduler
+from ..models.unet_audio import UNetAudio
+from ..ops import image as image_ops
+from . import losses
+
+
+@flax.struct.dataclass
+class DiffusionTrainState:
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+
+
+def create_state(cfg: DiffusionConfig, key: jax.Array) -> DiffusionTrainState:
+    model = UNetAudio(cfg)
+    xt = jnp.zeros((1, cfg.im_size, cfg.im_size, cfg.im_channels))
+    cond = jnp.zeros((1, cfg.im_size, cfg.im_size, cfg.im_channels))
+    wave = jnp.zeros((1, cfg.audio_samples))
+    params = model.init(key, xt, cond, wave, jnp.zeros((1,), jnp.int32))["params"]
+    tx = optax.adam(cfg.learning_rate)
+    return DiffusionTrainState(
+        step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params), tx=tx
+    )
+
+
+def normalize_audio(wave: jax.Array) -> jax.Array:
+    """High-pass (~300 Hz @16 kHz, first-order) + per-clip standardization —
+    the device-side form of dataset.py:30-41's biquad + normalize."""
+    alpha = 0.889  # exp(-2π·300/16000)
+    prev = jnp.pad(wave[..., :-1], [(0, 0)] * (wave.ndim - 1) + [(1, 0)])
+    hp = wave - alpha * prev
+    mean = jnp.mean(hp, axis=-1, keepdims=True)
+    std = jnp.std(hp, axis=-1, keepdims=True) + 1e-6
+    return (hp - mean) / std
+
+
+def prepare_batch(batch: Dict[str, jax.Array], cfg: DiffusionConfig) -> Dict[str, jax.Array]:
+    """uint8 frames → ±1 float at im_size; raw audio → normalized."""
+    target = image_ops.resize(batch["target_frame"], (cfg.im_size, cfg.im_size))
+    cond = image_ops.resize(batch["cond_frame"], (cfg.im_size, cfg.im_size))
+    return {
+        "target": image_ops.normalize_uint8(target, symmetric=True),
+        "cond": image_ops.normalize_uint8(cond, symmetric=True),
+        "audio": normalize_audio(batch["audio"]),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def train_step(
+    state: DiffusionTrainState,
+    batch: Dict[str, jax.Array],
+    key: jax.Array,
+    cfg: DiffusionConfig,
+) -> Tuple[DiffusionTrainState, Dict[str, jax.Array]]:
+    scheduler = make_scheduler(cfg.scheduler, cfg.num_timesteps, cfg.beta_start, cfg.beta_end)
+    prep = prepare_batch(batch, cfg)
+    step_key = prng.step_key(key, state.step)
+    kt, kn, kd = jax.random.split(step_key, 3)
+    b = prep["target"].shape[0]
+    t = prng.uniform_timesteps(kt, b, cfg.num_timesteps)
+    noise = jax.random.normal(kn, prep["target"].shape)
+    noisy = scheduler.add_noise(prep["target"], noise, t)
+
+    def loss_fn(params):
+        pred = UNetAudio(cfg).apply(
+            {"params": params}, noisy, prep["cond"], prep["audio"], t,
+            deterministic=False, rngs={"dropout": kd},
+        )
+        return losses.noise_mse(pred, noise)
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_state = state.replace(step=state.step + 1, params=new_params, opt_state=new_opt)
+    return new_state, {"loss": loss, "t_mean": t.astype(jnp.float32).mean()}
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def eval_step(
+    state: DiffusionTrainState,
+    batch: Dict[str, jax.Array],
+    key: jax.Array,
+    cfg: DiffusionConfig,
+) -> Dict[str, jax.Array]:
+    scheduler = make_scheduler(cfg.scheduler, cfg.num_timesteps, cfg.beta_start, cfg.beta_end)
+    prep = prepare_batch(batch, cfg)
+    kt, kn = jax.random.split(key)
+    b = prep["target"].shape[0]
+    t = prng.uniform_timesteps(kt, b, cfg.num_timesteps)
+    noise = jax.random.normal(kn, prep["target"].shape)
+    noisy = scheduler.add_noise(prep["target"], noise, t)
+    pred = UNetAudio(cfg).apply({"params": state.params}, noisy, prep["cond"], prep["audio"], t)
+    return {"eval/loss": losses.noise_mse(pred, noise)}

@@ -1,0 +1,237 @@
+"""Lip-sync GAN training: one jitted two-optimizer step on the mesh.
+
+Capability target: gan-model/train_lipreading.py:91-199 — G step with the
+composite loss (lip·lip_weight + syncnet_wt·sync + disc_wt·perceptual +
+(1−syncnet_wt−disc_wt)·L1, :135-138), then D real/fake BCE steps
+(:140-151); periodic eval flips syncnet_wt 0→0.03 once eval sync loss
+< 0.75 (:187-192); Adam(0.5, 0.999) for both (:330-333).
+
+TPU idioms:
+- The whole G+D alternation is ONE jitted ``gan_train_step(gan_state,
+  batch, key)`` — two optax states inside a single compiled program; no
+  Python between G and D updates.
+- The syncnet_wt gate is a field of the train state (a traced scalar), not
+  an ``hparams.set_hparam`` mutation (params.py:18-19) — SURVEY.md §7 hard
+  part #5.
+- Device-side preprocessing: the batch carries uint8 frame windows + raw
+  waveform; resize/normalize/mel/mask/concat all happen inside the step
+  (ops/image, ops/audio), replacing the cv2/librosa DataLoader work of
+  dataset.py:105-168.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core import prng
+from ..core.config import AudioConfig, GanConfig
+from ..models.discriminator import Discriminator
+from ..models.generator import TalkingFaceGenerator
+from ..models.syncnet import SyncNet, stack_window_lower_half
+from ..ops import audio as audio_ops
+from ..ops import image as image_ops
+from . import losses
+
+
+@flax.struct.dataclass
+class GanTrainState:
+    step: jax.Array
+    gen_params: Any
+    disc_params: Any
+    gen_opt: Any
+    disc_opt: Any
+    syncnet_params: Any          # frozen expert
+    syncnet_wt: jax.Array        # the 0→0.03 gate, traced
+    gen_tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+    disc_tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+
+
+def create_state(
+    cfg: GanConfig,
+    key: jax.Array,
+    syncnet_params=None,
+) -> GanTrainState:
+    gen = TalkingFaceGenerator(width=cfg.model_width)
+    disc = Discriminator(width=cfg.model_width)
+    sync = SyncNet(width=cfg.model_width)
+    kg, kd, ks = jax.random.split(key, 3)
+    t = cfg.syncnet_T
+    mel = jnp.zeros((1, t, 80, cfg.syncnet_mel_step_size, 1))
+    faces6 = jnp.zeros((1, t, cfg.img_size, cfg.img_size, 6))
+    gen_params = gen.init(kg, mel, faces6)["params"]
+    disc_params = disc.init(kd, jnp.zeros((1, t, cfg.img_size, cfg.img_size, 3)))["params"]
+    if syncnet_params is None:
+        syncnet_params = sync.init(
+            ks,
+            jnp.zeros((1, 80, cfg.syncnet_mel_step_size, 1)),
+            jnp.zeros((1, cfg.img_size // 2, cfg.img_size, 3 * t)),
+        )["params"]
+    gen_tx = optax.adam(cfg.learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2)
+    disc_tx = optax.adam(cfg.disc_learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2)
+    return GanTrainState(
+        step=jnp.zeros((), jnp.int32),
+        gen_params=gen_params,
+        disc_params=disc_params,
+        gen_opt=gen_tx.init(gen_params),
+        disc_opt=disc_tx.init(disc_params),
+        syncnet_params=syncnet_params,
+        syncnet_wt=jnp.asarray(cfg.syncnet_wt, jnp.float32),
+        gen_tx=gen_tx,
+        disc_tx=disc_tx,
+    )
+
+
+def prepare_batch(
+    batch: Dict[str, jax.Array], cfg: GanConfig, audio_cfg: AudioConfig
+) -> Dict[str, jax.Array]:
+    """Device-side batch prep (dataset.py:106-168 semantics, fused):
+
+    in:  window (B,T,H,W,3) uint8, wrong_window (B,T,H,W,3) uint8,
+         start_frame (B,), wav (B, samples)
+    out: x (B,T,96,96,6) masked-target ⊕ reference, gt (B,T,96,96,3) in
+         [0,1], mel (B,80,16,1) window at start_frame, indiv_mels
+         (B,T,80,16,1) per-frame windows offset −2 (dataset.py:81-94).
+    """
+    t = cfg.syncnet_T
+    win = image_ops.resize(batch["window"], (cfg.img_size, cfg.img_size))
+    wrong = image_ops.resize(batch["wrong_window"], (cfg.img_size, cfg.img_size))
+    gt = image_ops.normalize_uint8(win)
+    wrong = image_ops.normalize_uint8(wrong)
+    masked = image_ops.mask_lower_half(gt)
+    x = image_ops.concat_reference(masked, wrong)
+
+    mel_full = audio_ops.melspectrogram(batch["wav"], audio_cfg)  # (B, 80, T_mel)
+    start = batch["start_frame"].astype(jnp.float32)
+
+    def one_clip(mel, s):
+        m = audio_ops.crop_mel_window(
+            mel, s, cfg.fps, cfg.syncnet_mel_step_size, audio_cfg.sample_rate, audio_cfg.hop_size
+        )
+        # per-frame sub-windows offset −2 frames (get_segmented_mels, dataset.py:81-94)
+        frame_ids = s + jnp.arange(t, dtype=jnp.float32) - 2.0
+        frame_ids = jnp.maximum(frame_ids, 0.0)
+        indiv = audio_ops.mel_windows(
+            mel, frame_ids, cfg.fps, cfg.syncnet_mel_step_size,
+            audio_cfg.sample_rate, audio_cfg.hop_size,
+        )
+        return m, indiv
+
+    mel_win, indiv = jax.vmap(one_clip)(mel_full, start)
+    return {
+        "x": x,
+        "gt": gt,
+        "mel": mel_win[..., None],          # (B, 80, 16, 1)
+        "indiv_mels": indiv[..., None],     # (B, T, 80, 16, 1)
+    }
+
+
+def _sync_loss(syncnet_params, mel, generated, cfg: GanConfig):
+    """get_sync_loss (train_lipreading.py:83-89): lower halves of the T
+    generated frames stacked on channels vs the window mel."""
+    faces = stack_window_lower_half(generated)
+    a, v = SyncNet(width=cfg.model_width).apply({"params": syncnet_params}, mel, faces)
+    return losses.cosine_bce_sync_loss(a, v)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "audio_cfg"), donate_argnums=(0,))
+def gan_train_step(
+    state: GanTrainState,
+    batch: Dict[str, jax.Array],
+    key: jax.Array,
+    cfg: GanConfig,
+    audio_cfg: AudioConfig = AudioConfig(),
+) -> Tuple[GanTrainState, Dict[str, jax.Array]]:
+    prep = prepare_batch(batch, cfg, audio_cfg)
+    gen = TalkingFaceGenerator(width=cfg.model_width)
+    disc = Discriminator(width=cfg.model_width)
+
+    def g_loss_fn(gen_params):
+        g = gen.apply({"params": gen_params}, prep["indiv_mels"], prep["x"])
+        recon = losses.l1(g, prep["gt"])
+        sync = _sync_loss(state.syncnet_params, prep["mel"], g, cfg)
+        fake_pred = disc.apply({"params": state.disc_params}, g)
+        perceptual = losses.perceptual_adversarial_loss(fake_pred)
+        lip = jnp.zeros(())  # optional expert loss wired via train_gan_with_expert
+        total, metrics = losses.generator_loss(
+            recon, sync, perceptual, lip, state.syncnet_wt, cfg.disc_wt, cfg.lip_weight
+        )
+        return total, (g, metrics)
+
+    (gtotal, (g, gmetrics)), ggrads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+        state.gen_params
+    )
+    gupdates, new_gen_opt = state.gen_tx.update(ggrads, state.gen_opt, state.gen_params)
+    new_gen_params = optax.apply_updates(state.gen_params, gupdates)
+
+    def d_loss_fn(disc_params):
+        real_pred = disc.apply({"params": disc_params}, prep["gt"])
+        fake_pred = disc.apply({"params": disc_params}, jax.lax.stop_gradient(g))
+        dreal, dfake = losses.discriminator_loss(real_pred, fake_pred)
+        return dreal + dfake, (dreal, dfake)
+
+    (dtotal, (dreal, dfake)), dgrads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+        state.disc_params
+    )
+    dupdates, new_disc_opt = state.disc_tx.update(dgrads, state.disc_opt, state.disc_params)
+    new_disc_params = optax.apply_updates(state.disc_params, dupdates)
+
+    metrics = dict(gmetrics)
+    metrics.update({"loss/d_real": dreal, "loss/d_fake": dfake})
+    new_state = state.replace(
+        step=state.step + 1,
+        gen_params=new_gen_params,
+        gen_opt=new_gen_opt,
+        disc_params=new_disc_params,
+        disc_opt=new_disc_opt,
+    )
+    return new_state, metrics
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "audio_cfg"))
+def gan_eval_step(
+    state: GanTrainState,
+    batch: Dict[str, jax.Array],
+    cfg: GanConfig,
+    audio_cfg: AudioConfig = AudioConfig(),
+) -> Dict[str, jax.Array]:
+    """Eval metrics incl. the sync loss that drives the gate
+    (eval_model, train_lipreading.py:155-192) and PSNR parity metric."""
+    prep = prepare_batch(batch, cfg, audio_cfg)
+    g = TalkingFaceGenerator(width=cfg.model_width).apply(
+        {"params": state.gen_params}, prep["indiv_mels"], prep["x"]
+    )
+    sync = _sync_loss(state.syncnet_params, prep["mel"], g, cfg)
+    return {
+        "eval/sync_loss": sync,
+        "eval/l1": losses.l1(g, prep["gt"]),
+        "eval/psnr": losses.psnr(g, prep["gt"]),
+    }
+
+
+def maybe_open_sync_gate(state: GanTrainState, eval_sync_loss: float, cfg: GanConfig) -> GanTrainState:
+    """Host-side gate flip: syncnet_wt 0→0.03 once eval sync < threshold
+    (train_lipreading.py:187-192). Idempotent."""
+    if float(eval_sync_loss) < cfg.syncnet_gate_threshold and float(state.syncnet_wt) == 0.0:
+        return state.replace(syncnet_wt=jnp.asarray(cfg.syncnet_wt_after_gate, jnp.float32))
+    return state
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "audio_cfg"))
+def generate_step(
+    state: GanTrainState,
+    batch: Dict[str, jax.Array],
+    cfg: GanConfig,
+    audio_cfg: AudioConfig = AudioConfig(),
+) -> jax.Array:
+    """Sample generated windows for image dumps (save_sample_images,
+    train_lipreading.py:57-68). Returns (B, T, H, W, 3) in [0,1]."""
+    prep = prepare_batch(batch, cfg, audio_cfg)
+    return TalkingFaceGenerator(width=cfg.model_width).apply(
+        {"params": state.gen_params}, prep["indiv_mels"], prep["x"]
+    )

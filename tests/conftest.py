@@ -16,9 +16,21 @@ import pytest  # noqa: E402
 
 import jax  # noqa: E402
 
+# The axon TPU plugin's sitecustomize force-sets jax_platforms="axon,cpu"
+# via jax.config, overriding the env var — override it back so the test
+# suite runs on the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
 # JAX 0.9 defaults f32 matmuls to bf16-grade precision even on CPU; tests
 # compare against float64/numpy goldens, so pin full fp32 matmul precision.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: XLA-CPU compiles of the bigger models take
+# minutes on this box; cache them across test runs.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 @pytest.fixture

@@ -1,0 +1,100 @@
+"""Mesh/sharding tests on the 8-device CPU mesh (SURVEY.md §4 item (e))."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from lipreading_video_generation_tpu.core.config import MeshConfig
+from lipreading_video_generation_tpu.parallel import mesh as pmesh
+
+
+def _spec(mp=1):
+    return pmesh.build_mesh(MeshConfig(model_parallel=mp))
+
+
+def test_eight_virtual_devices():
+    assert jax.device_count() == 8
+
+
+def test_build_mesh_shapes():
+    spec = _spec()
+    assert spec.data_size == 8 and spec.model_size == 1
+    spec2 = _spec(mp=2)
+    assert spec2.data_size == 4 and spec2.model_size == 2
+
+
+def test_bad_mesh_config_raises():
+    with pytest.raises(ValueError):
+        pmesh.build_mesh(MeshConfig(model_parallel=3))  # 3 ∤ 8
+    with pytest.raises(ValueError):
+        pmesh.build_mesh(MeshConfig(data_parallel=3, model_parallel=2))
+
+
+def test_shard_batch_places_on_data_axis():
+    spec = _spec()
+    batch = {"x": np.zeros((16, 4), np.float32), "y": np.zeros((16,), np.int32)}
+    sharded = pmesh.shard_batch(spec, batch)
+    assert sharded["x"].sharding.spec in (P("data"), P("data", None))
+    # each device holds 16/8 = 2 rows
+    shard = sharded["x"].addressable_shards[0]
+    assert shard.data.shape == (2, 4)
+
+
+def test_data_parallel_psum_gradients():
+    """The core DP contract: per-device grads are averaged by XLA."""
+    spec = _spec()
+    w = jnp.ones((4,))
+
+    @jax.jit
+    def grad_step(w, x):
+        return jax.grad(lambda w: jnp.mean((x @ w) ** 2))(w)
+
+    x = np.arange(64, dtype=np.float32).reshape(16, 4) / 64
+    gx = pmesh.shard_batch(spec, x)
+    with spec.mesh:
+        g = grad_step(w, gx)
+    want = jax.grad(lambda w: jnp.mean((jnp.asarray(x) @ w) ** 2))(w)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(want), rtol=1e-5)
+
+
+def test_param_partition_spec_tp():
+    spec = _spec(mp=2)
+    big = np.zeros((1024, 4096), np.float32)
+    small = np.zeros((16,), np.float32)
+    assert pmesh.param_partition_spec(big, spec, model_shard_threshold=0) == P(None, "model")
+    assert pmesh.param_partition_spec(small, spec) == P()
+
+
+def test_shard_params_replicates_by_default():
+    spec = _spec()
+    params = {"w": np.zeros((8, 8), np.float32)}
+    out = pmesh.shard_params(spec, params)
+    assert out["w"].sharding.spec == P()
+
+
+def test_per_device_batch():
+    spec = _spec()
+    assert pmesh.per_device_batch(16, spec) == 2
+    with pytest.raises(ValueError):
+        pmesh.per_device_batch(12, spec)
+
+
+def test_tp_matmul_collective():
+    """Tensor-parallel contraction: y = x @ W with W sharded on output dim →
+    output sharded on model axis; a second contraction forces the gather."""
+    spec = _spec(mp=2)
+    from jax.sharding import NamedSharding
+
+    x = jnp.ones((4, 64))
+    w1 = jax.device_put(jnp.ones((64, 128)), NamedSharding(spec.mesh, P(None, "model")))
+    w2 = jax.device_put(jnp.ones((128, 8)), NamedSharding(spec.mesh, P("model", None)))
+
+    @jax.jit
+    def f(x, w1, w2):
+        return (x @ w1) @ w2
+
+    with spec.mesh:
+        y = f(x, w1, w2)
+    np.testing.assert_allclose(np.asarray(y), 64 * 128, rtol=1e-5)

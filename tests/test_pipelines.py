@@ -1,0 +1,202 @@
+"""Pipeline smoke tests: single-step training convergence + sampler
+determinism (SURVEY.md §4 items (c), (d)) at tiny model sizes."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lipreading_video_generation_tpu.core.config import (
+    AudioConfig,
+    DiffusionConfig,
+    GanConfig,
+    ViViTConfig,
+)
+from lipreading_video_generation_tpu.data import datasets
+from lipreading_video_generation_tpu.pipelines import (
+    losses,
+    sample_diffusion,
+    train_diffusion,
+    train_gan,
+    train_syncnet,
+    train_vivit,
+)
+
+KEY = jax.random.key(0)
+
+TINY_GAN = GanConfig(model_width=0.125, batch_size=2)
+TINY_DIFF = DiffusionConfig(
+    im_size=16, base_channels=32, channel_mult=(1, 2), num_res_blocks=1,
+    attention_resolutions=(2,), num_heads=2, time_embed_dim=64,
+    audio_embed_dim=64, audio_proj_dim=16, im_cond_channels=8,
+    audio_samples=800, num_timesteps=10, dtype="float32",
+)
+
+
+# --- losses ----------------------------------------------------------------
+
+def test_bce_matches_formula():
+    p = jnp.asarray([0.9, 0.1])
+    y = jnp.asarray([1.0, 0.0])
+    want = -np.mean([np.log(0.9), np.log(0.9)])
+    np.testing.assert_allclose(float(losses.bce(p, y)), want, rtol=1e-5)
+
+
+def test_generator_loss_weighting():
+    total, m = losses.generator_loss(
+        l1_recon=jnp.asarray(1.0), sync=jnp.asarray(2.0), perceptual=jnp.asarray(3.0),
+        lip=jnp.asarray(0.0), syncnet_wt=jnp.asarray(0.03), disc_wt=0.07, lip_weight=0.0,
+    )
+    np.testing.assert_allclose(float(total), 0.03 * 2 + 0.07 * 3 + 0.9 * 1, rtol=1e-6)
+
+
+def test_cosine_sync_loss_perfect_alignment():
+    e = jnp.ones((4, 8)) / np.sqrt(8)
+    assert float(losses.cosine_bce_sync_loss(e, e)) < 1e-5
+    assert float(losses.cosine_bce_sync_loss(e, -e)) > 5.0
+
+
+def test_psnr_identical_images():
+    a = jnp.ones((2, 4, 4, 3)) * 0.5
+    assert float(losses.psnr(a, a)) > 100
+
+
+# --- ViViT training --------------------------------------------------------
+
+def _vivit_cfg(n=4):
+    return ViViTConfig(num_classes=n, hidden_size=64, num_layers=2, num_heads=4,
+                       mlp_dim=128, dtype="float32")
+
+
+def test_vivit_train_step_reduces_loss():
+    cfg = _vivit_cfg()
+    state = train_vivit.create_state(cfg, KEY)
+    clips, labels = datasets.synthetic_word_clips(n=32, num_classes=4, seed=0)
+    s = datasets.WordClipSampler(clips, labels, max_frames=5)
+    batch = next(s.batches(32, shuffle=False))
+    first_loss = None
+    for i in range(30):
+        state, metrics = train_vivit.train_step(state, batch, KEY)
+        if first_loss is None:
+            first_loss = float(metrics["loss"])
+    # brightness-separable labels: loss must drop decisively on 30 steps
+    assert float(metrics["loss"]) < first_loss * 0.5
+    assert float(metrics["accuracy"]) > 0.5
+
+
+def test_vivit_eval_and_predict():
+    cfg = _vivit_cfg()
+    state = train_vivit.create_state(cfg, KEY)
+    clips, labels = datasets.synthetic_word_clips(n=16, num_classes=4)
+    s = datasets.WordClipSampler(clips, labels, max_frames=5)
+    stats = train_vivit.evaluate(state, s.batches(8, shuffle=False))
+    assert 0 <= stats["accuracy"] <= 1
+    batch = next(s.batches(8))
+    logp = train_vivit.predict_step(state, jnp.asarray(batch["clips"]))
+    assert logp.shape == (8, 4)
+    np.testing.assert_allclose(np.exp(np.asarray(logp)).sum(-1), 1.0, rtol=1e-4)
+
+
+# --- GAN training ----------------------------------------------------------
+
+def _gan_batch(b=2):
+    clips = datasets.synthetic_gan_clips(n_clips=2, frames=25)
+    return datasets.GanWindowSampler(clips, seed=0).sample_batch(b)
+
+
+def test_gan_prepare_batch_shapes():
+    batch = {k: jnp.asarray(v) for k, v in _gan_batch().items()}
+    prep = train_gan.prepare_batch(batch, TINY_GAN, AudioConfig())
+    assert prep["x"].shape == (2, 5, 96, 96, 6)
+    assert prep["gt"].shape == (2, 5, 96, 96, 3)
+    assert prep["mel"].shape == (2, 80, 16, 1)
+    assert prep["indiv_mels"].shape == (2, 5, 80, 16, 1)
+    # masked half of x must be zero; reference half must not
+    x = np.asarray(prep["x"])
+    assert np.abs(x[..., 48:, :, :3]).max() == 0
+    assert np.abs(x[..., 48:, :, 3:]).max() > 0
+
+
+def test_gan_train_step_runs_and_updates():
+    state = train_gan.create_state(TINY_GAN, KEY)
+    batch = {k: jnp.asarray(v) for k, v in _gan_batch().items()}
+    before = jax.tree_util.tree_leaves(state.gen_params)[0].copy()
+    state, metrics = train_gan.gan_train_step(state, batch, KEY, TINY_GAN)
+    assert int(state.step) == 1
+    for k in ("loss/g_total", "loss/l1", "loss/sync", "loss/perceptual",
+              "loss/d_real", "loss/d_fake"):
+        assert np.isfinite(float(metrics[k])), k
+    after = jax.tree_util.tree_leaves(state.gen_params)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_gan_sync_gate():
+    state = train_gan.create_state(TINY_GAN, KEY)
+    assert float(state.syncnet_wt) == 0.0
+    state2 = train_gan.maybe_open_sync_gate(state, eval_sync_loss=0.5, cfg=TINY_GAN)
+    assert float(state2.syncnet_wt) == pytest.approx(0.03)
+    # idempotent + no flip above threshold
+    state3 = train_gan.maybe_open_sync_gate(state, eval_sync_loss=0.9, cfg=TINY_GAN)
+    assert float(state3.syncnet_wt) == 0.0
+
+
+def test_gan_eval_step_metrics():
+    state = train_gan.create_state(TINY_GAN, KEY)
+    batch = {k: jnp.asarray(v) for k, v in _gan_batch().items()}
+    m = train_gan.gan_eval_step(state, batch, TINY_GAN)
+    assert set(m) == {"eval/sync_loss", "eval/l1", "eval/psnr"}
+    assert np.isfinite(float(m["eval/psnr"]))
+
+
+def test_syncnet_train_step():
+    state = train_syncnet.create_state(TINY_GAN, KEY)
+    batch = {k: jnp.asarray(v) for k, v in _gan_batch().items()}
+    state, metrics = train_syncnet.train_step(state, batch, KEY, TINY_GAN)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+# --- diffusion -------------------------------------------------------------
+
+def _diff_batch(b=2, rng_seed=0):
+    rng = np.random.default_rng(rng_seed)
+    return {
+        "cond_frame": jnp.asarray(rng.integers(0, 256, (b, 20, 20, 3), dtype=np.uint8)),
+        "target_frame": jnp.asarray(rng.integers(0, 256, (b, 20, 20, 3), dtype=np.uint8)),
+        "audio": jnp.asarray(rng.standard_normal((b, 800)).astype(np.float32)),
+    }
+
+
+def test_diffusion_train_step():
+    state = train_diffusion.create_state(TINY_DIFF, KEY)
+    state, metrics = train_diffusion.train_step(state, _diff_batch(), KEY, TINY_DIFF)
+    assert int(state.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    # t must stay within the schedule (the reference's range bug, train.py:125)
+    assert 0 <= float(metrics["t_mean"]) < TINY_DIFF.num_timesteps
+
+
+def test_diffusion_timestep_range_fix():
+    from lipreading_video_generation_tpu.core import prng
+    t = prng.uniform_timesteps(KEY, 1000, 10)
+    assert int(t.min()) >= 0 and int(t.max()) <= 9
+
+
+def test_sampler_deterministic_under_fixed_key():
+    state = train_diffusion.create_state(TINY_DIFF, KEY)
+    b = _diff_batch()
+    x1, snaps1 = sample_diffusion.sample(state, b["cond_frame"], b["audio"], KEY, TINY_DIFF,
+                                         snapshot_every=5)
+    x2, snaps2 = sample_diffusion.sample(state, b["cond_frame"], b["audio"], KEY, TINY_DIFF,
+                                         snapshot_every=5)
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    assert snaps1.shape[0] == 2  # 10 steps, every 5
+    assert np.asarray(x1).min() >= 0 and np.asarray(x1).max() <= 1
+
+
+def test_sampler_key_sensitivity():
+    state = train_diffusion.create_state(TINY_DIFF, KEY)
+    b = _diff_batch()
+    x1, _ = sample_diffusion.sample(state, b["cond_frame"], b["audio"], KEY, TINY_DIFF)
+    x2, _ = sample_diffusion.sample(state, b["cond_frame"], b["audio"], jax.random.key(1),
+                                    TINY_DIFF)
+    assert not np.allclose(np.asarray(x1), np.asarray(x2))

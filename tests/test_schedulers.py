@@ -1,0 +1,105 @@
+"""Scheduler numerics regression vs independently-computed DDPM math
+(tests the semantics of linear_noise_scheduler.py / noise_scheduler.py)."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lipreading_video_generation_tpu.models.schedulers import (
+    CosineScheduler,
+    LinearScheduler,
+    LinearSchedulerV2,
+    make_scheduler,
+)
+
+
+def test_compvis_beta_table():
+    s = LinearScheduler.create(100, 0.00085, 0.012)
+    want = np.linspace(0.00085**0.5, 0.012**0.5, 100) ** 2
+    np.testing.assert_allclose(s.betas, want, rtol=1e-12)
+    np.testing.assert_allclose(s.alpha_cum_prod, np.cumprod(1 - want), rtol=1e-12)
+
+
+def test_add_noise_forward_process():
+    s = LinearScheduler.create(100, 0.00085, 0.012)
+    x0 = jnp.ones((2, 4, 4, 3))
+    eps = jnp.full((2, 4, 4, 3), 0.5)
+    t = jnp.asarray([0, 99])
+    xt = np.asarray(s.add_noise(x0, eps, t))
+    sa = np.sqrt(s.alpha_cum_prod)
+    so = np.sqrt(1 - s.alpha_cum_prod)
+    np.testing.assert_allclose(xt[0], sa[0] * 1 + so[0] * 0.5, rtol=1e-5)
+    np.testing.assert_allclose(xt[1], sa[99] * 1 + so[99] * 0.5, rtol=1e-5)
+
+
+def test_x0_prediction_clamped():
+    s = LinearScheduler.create(50, 0.001, 0.02)
+    xt = jnp.full((1, 2, 2, 1), 10.0)
+    eps = jnp.zeros((1, 2, 2, 1))
+    x0 = np.asarray(s.pred_x0(xt, eps, jnp.asarray([10])))
+    assert (np.abs(x0) <= 1.0).all()  # clamp (linear_noise_scheduler.py:59)
+
+
+def test_linear_posterior_mean_at_t0_deterministic():
+    s = LinearScheduler.create(50, 0.001, 0.02)
+    xt = jnp.ones((1, 2, 2, 1)) * 0.3
+    eps = jnp.ones((1, 2, 2, 1)) * 0.1
+    key = jax.random.key(0)
+    out, x0 = s.sample_prev_timestep(xt, eps, jnp.asarray([0]), key)
+    # t=0: no noise added (linear_noise_scheduler.py:64-65)
+    mean = (0.3 - s.betas[0] * 0.1 / np.sqrt(1 - s.alpha_cum_prod[0])) / np.sqrt(s.alphas[0])
+    np.testing.assert_allclose(np.asarray(out), mean, rtol=1e-5)
+
+
+def test_linear_posterior_variance_matches_formula():
+    s = LinearScheduler.create(50, 0.001, 0.02)
+    t = 10
+    xt = jnp.zeros((1, 2, 2, 1))
+    eps = jnp.zeros((1, 2, 2, 1))
+    # with zero noise_pred, out = mean + sigma*z; measure sigma via two keys
+    outs = []
+    for seed in range(2):
+        out, _ = s.sample_prev_timestep(xt, eps, jnp.asarray([t]), jax.random.key(seed))
+        outs.append(np.asarray(out))
+    var_expected = (1 - s.alpha_cum_prod[t - 1]) / (1 - s.alpha_cum_prod[t]) * s.betas[t]
+    # both draws should be ~N(0, var): check scale statistically (loose)
+    draws = np.concatenate([o.ravel() for o in outs])
+    assert 0.05 * np.sqrt(var_expected) < np.abs(draws).mean() < 4 * np.sqrt(var_expected)
+
+
+def test_v2_formulation():
+    s = LinearSchedulerV2.create(500, 5e-5, 0.015)   # test.py:111 config
+    t = 100
+    xt = jnp.ones((1, 2, 2, 1))
+    eps = jnp.full((1, 2, 2, 1), 0.2)
+    out, x0 = s.sample_prev_timestep(xt, eps, jnp.asarray([t]), jax.random.key(0))
+    mean = 1.0 - np.sqrt(1 - s.alpha_cum_prod[t]) * 0.2 / np.sqrt(s.alphas[t])
+    sigma = np.sqrt((1 - s.alpha_cum_prod[t]) * s.betas[t])
+    assert np.abs(np.asarray(out).mean() - mean) < 5 * sigma
+    x0_want = (1.0 - np.sqrt(1 - s.alpha_cum_prod[t]) * 0.2) / np.sqrt(s.alpha_cum_prod[t])
+    np.testing.assert_allclose(np.asarray(x0), np.clip(x0_want, -1, 1), rtol=1e-4)
+
+
+def test_cosine_schedule_table():
+    s = CosineScheduler.create(100)
+    ts = np.arange(100) / 100
+    want = np.cos(((ts + 0.008) / 1.008) * np.pi / 2) ** 2
+    np.testing.assert_allclose(s.alpha_cum_prod, want, rtol=1e-10)
+
+
+def test_make_scheduler_dispatch():
+    assert isinstance(make_scheduler("linear", 10, 1e-4, 1e-2), LinearScheduler)
+    assert isinstance(make_scheduler("linear_v2", 10, 1e-4, 1e-2), LinearSchedulerV2)
+    assert isinstance(make_scheduler("cosine", 10, 1e-4, 1e-2), CosineScheduler)
+
+
+def test_vectorized_timesteps():
+    """Per-sample t vector (the reference indexes one scalar t at a time)."""
+    s = LinearScheduler.create(100, 0.00085, 0.012)
+    xt = jnp.zeros((4, 2, 2, 1))
+    eps = jnp.zeros((4, 2, 2, 1))
+    t = jnp.asarray([0, 10, 50, 99])
+    out, x0 = s.sample_prev_timestep(xt, eps, t, jax.random.key(1))
+    assert out.shape == (4, 2, 2, 1)
+    # t=0 row must be exactly the (zero) mean — no noise
+    np.testing.assert_allclose(np.asarray(out[0]), 0.0, atol=1e-7)
