@@ -2,13 +2,23 @@
 
 The BASELINE.json headline metric: frames/sec/chip for the fused
 preprocess (crop → 48×48 → CLAHE → 32×32 grayscale) + ViViT word-classifier
-forward, the TPU rebuild of the reference pipeline that ran MediaPipe +
+forward — the TPU rebuild of the reference pipeline that ran MediaPipe +
 per-frame DenseNet predict on host (lipreading/get_data.py:37-49,
 feature_extraction.py:78-88).
 
+Timing methodology: the execution relay used in this environment
+acknowledges dispatch before completion (``block_until_ready`` does not
+actually block, and identical dispatches can be served from a request
+cache), so naive timing over-reports by >1000×. This bench therefore:
+1. repeats the pipeline K times INSIDE one jit via ``lax.fori_loop`` with a
+   data dependency between iterations (each iteration perturbs the input
+   with the previous iteration's prediction);
+2. forces completion with a single tiny device→host fetch;
+3. subtracts the separately-measured fetch round-trip.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is measured against the 2,000 frames/sec/chip north star
-(BASELINE.json; the reference publishes no numbers of its own).
+vs_baseline is against the 2,000 frames/sec/chip north star (BASELINE.json;
+the reference publishes no numbers of its own).
 """
 from __future__ import annotations
 
@@ -31,37 +41,53 @@ def main() -> None:
 
     cfg = ViViTConfig(num_classes=64)
     model = ViViT(cfg)
-    b, t = 256, cfg.num_frames          # 1280 frames per step
+    b, t = 256, cfg.num_frames          # 1280 frames per pipeline pass
+    K = 10                               # in-jit repetitions
     rng = np.random.default_rng(0)
 
-    clips0 = jnp.zeros((1, t, cfg.image_size, cfg.image_size, cfg.num_channels))
-    params = model.init(jax.random.key(0), clips0)["params"]
-
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, t, cfg.image_size, cfg.image_size, cfg.num_channels))
+    )["params"]
     frames = jnp.asarray(rng.integers(0, 256, (b * t, 96, 96, 3), dtype=np.uint8))
     boxes = jnp.asarray(
         np.tile([8.0, 92.0, 6.0, 90.0], (b * t, 1)).astype(np.float32)
         + rng.uniform(-2, 2, (b * t, 4)).astype(np.float32)
     )
 
-    @jax.jit
-    def pipeline(params, frames, boxes):
-        roi = mouth_roi_pipeline(frames, boxes)
+    def one_pass(frames_u8):
+        roi = mouth_roi_pipeline(frames_u8, boxes)
         clips = roi.reshape(b, t, cfg.image_size, cfg.image_size, 1)
         logits = model.apply({"params": params}, clips.astype(jnp.float32) / 255.0)
         return jnp.argmax(logits, axis=-1)
 
-    # warmup / compile
-    out = pipeline(params, frames, boxes)
-    jax.block_until_ready(out)
+    @jax.jit
+    def repeated(frames_u8):
+        def body(i, carry):
+            f, acc = carry
+            pred = one_pass(f)
+            # chain: fold the prediction into the next input (real dependency)
+            f = jnp.bitwise_xor(f, (pred.sum() % 2).astype(jnp.uint8))
+            return f, acc + pred.sum()
+        _, acc = jax.lax.fori_loop(0, K, body, (frames_u8, jnp.int32(0)))
+        return acc
 
-    iters = 20
+    # warmup/compile, and force completion via host fetch
+    _ = int(repeated(frames))
+
+    # fetch round-trip on an already-computed tiny buffer
+    tiny = jnp.zeros((8,)) + 1.0
+    _ = np.asarray(tiny)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = pipeline(params, frames, boxes)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    for _ in range(3):
+        _ = np.asarray(tiny)
+    rtt = (time.perf_counter() - t0) / 3
 
-    frames_per_sec = (b * t) / dt
+    t0 = time.perf_counter()
+    _ = int(repeated(frames))           # host fetch of the int forces full chain
+    total = time.perf_counter() - t0
+    per_pass = max((total - rtt) / K, 1e-9)
+
+    frames_per_sec = (b * t) / per_pass
     print(
         json.dumps(
             {
@@ -73,8 +99,8 @@ def main() -> None:
         )
     )
     print(
-        f"[bench] backend={jax.default_backend()} batch={b} clip_frames={t} "
-        f"step_time={dt*1000:.2f}ms",
+        f"[bench] backend={jax.default_backend()} batch={b} clip_frames={t} K={K} "
+        f"pass_time={per_pass*1000:.2f}ms rtt={rtt*1000:.1f}ms total={total*1000:.0f}ms",
         file=sys.stderr,
     )
 

@@ -1,0 +1,258 @@
+"""Unified CLI: the reference's four entrypoints per workload
+(preprocess / train / test / inference — README.md:4-8,
+gan-model/README.md:20-31) as subcommands of one tool, with a single typed
+config tree and ``--set section.key=value`` overrides replacing the
+reference's four uncoordinated config mechanisms (SURVEY.md §5 config).
+
+Usage examples:
+  python -m lipreading_video_generation_tpu.cli preprocess-gan \
+      --data-root data/mvlrs_v1/main --out data/preprocessed
+  python -m lipreading_video_generation_tpu.cli train-vivit --steps 1000
+  python -m lipreading_video_generation_tpu.cli train-gan --steps 10000 \
+      --set gan.batch_size=32 --set gan.syncnet_wt=0.0
+  python -m lipreading_video_generation_tpu.cli sample-diffusion \
+      --checkpoint ckpt/ --cond-video clip.mp4 --out out.png
+  python -m lipreading_video_generation_tpu.cli infer-lipsync \
+      --face face.mp4 --audio speech.wav --out result.mp4
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List
+
+import numpy as np
+
+
+def _base_parser(sub, name, help_):
+    p = sub.add_parser(name, help=help_)
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   help="config override section.key=value")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def build_config(args):
+    from .core.config import Config, parse_overrides, replace
+
+    cfg = Config()
+    cfg = replace(cfg, seed=args.seed)
+    return parse_overrides(cfg, args.overrides)
+
+
+def main(argv: List[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="lvg-tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = _base_parser(sub, "preprocess-gan", "videos → face crops + wav (offline)")
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--filelist", default=None)
+    p.add_argument("--host-id", type=int, default=0)
+    p.add_argument("--num-hosts", type=int, default=1)
+
+    p = _base_parser(sub, "build-frame-index", "videos → diffusion FrameItem index")
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--step", type=int, default=6)
+
+    p = _base_parser(sub, "train-vivit", "train the ViViT lipreader")
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on synthetic word clips (no dataset needed)")
+
+    p = _base_parser(sub, "train-gan", "train the lip-sync GAN")
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--preprocessed-root", default=None)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--synthetic", action="store_true")
+
+    p = _base_parser(sub, "train-syncnet", "pretrain the SyncNet expert")
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--synthetic", action="store_true")
+
+    p = _base_parser(sub, "train-diffusion", "train the conditional DDPM")
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--frame-index", default=None)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--synthetic", action="store_true")
+
+    p = _base_parser(sub, "sample-diffusion", "reverse-diffusion sampling")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--out", required=True)
+
+    p = _base_parser(sub, "infer-lipsync", "lip-sync a video to an audio track")
+    p.add_argument("--face", required=True)
+    p.add_argument("--audio", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--static", action="store_true")
+
+    args = parser.parse_args(argv)
+    cfg = build_config(args)
+
+    if args.cmd == "preprocess-gan":
+        import jax
+
+        from .data.manifest import build_manifest, read_filelist
+        from .models.s3fd import S3FD
+        from .pipelines.offline_preprocess import preprocess_dataset
+
+        filelist = read_filelist(args.filelist) if args.filelist else None
+        records, skipped = build_manifest(args.data_root, filelist)
+        print(f"{len(records)} clips ({skipped} skipped)")
+        s3fd = S3FD()
+        params = s3fd.init(jax.random.key(0), np.zeros((1, 128, 128, 3), np.float32))["params"]
+        ok, failed = preprocess_dataset(params, records, args.out, cfg.preprocess,
+                                        args.host_id, args.num_hosts)
+        print(f"ok={ok} failed={failed}")
+        return 0
+
+    if args.cmd == "build-frame-index":
+        from .data.datasets import build_frame_index, save_frame_index
+        from .data.manifest import build_manifest
+
+        records, _ = build_manifest(args.data_root)
+        items = build_frame_index([r.video_path for r in records], step=args.step)
+        save_frame_index(items, args.out)
+        print(f"{len(items)} frame pairs → {args.out}")
+        return 0
+
+    if args.cmd == "train-vivit":
+        from .core.metrics import ConsoleWriter, Metrics
+        from .data.datasets import WordClipSampler, synthetic_word_clips
+        from .pipelines import train_vivit
+
+        clips, labels = synthetic_word_clips(n=512, num_classes=cfg.vivit.num_classes)
+        sampler = WordClipSampler(clips, labels, max_frames=cfg.vivit.num_frames)
+        state, best = train_vivit.train(
+            cfg,
+            lambda: sampler.batches(cfg.vivit.batch_size),
+            lambda: sampler.batches(cfg.vivit.batch_size, shuffle=False),
+            num_epochs=max(1, args.steps // max(1, len(clips) // cfg.vivit.batch_size)),
+            metrics_writer=Metrics(ConsoleWriter(every=10)),
+        )
+        print(f"best: {best}")
+        return 0
+
+    if args.cmd in ("train-gan", "train-syncnet"):
+        from .core.metrics import ConsoleWriter, Metrics
+        from .data.datasets import GanWindowSampler, load_gan_clip, synthetic_gan_clips
+
+        if args.synthetic or not getattr(args, "preprocessed_root", None):
+            clips = synthetic_gan_clips(n_clips=8, frames=30)
+        else:
+            import os
+
+            clips = []
+            for root, dirs, files in os.walk(args.preprocessed_root):
+                if "audio.wav" in files:
+                    clips.append(load_gan_clip(root))
+        sampler = GanWindowSampler(clips, cfg.gan.syncnet_T, seed=cfg.seed)
+        writer = Metrics(ConsoleWriter(every=10))
+        if args.cmd == "train-gan":
+            from .pipelines import train_gan
+
+            train_gan.train(
+                cfg.gan,
+                lambda: sampler.sample_batch(cfg.gan.batch_size),
+                eval_batch_fn=lambda: sampler.sample_batch(cfg.gan.batch_size),
+                num_steps=args.steps,
+                seed=cfg.seed,
+                checkpoint_dir=getattr(args, "checkpoint_dir", None),
+                metrics_writer=writer,
+            )
+        else:
+            import jax
+            import jax.numpy as jnp
+
+            from .pipelines import train_syncnet
+
+            state = train_syncnet.create_state(cfg.gan, jax.random.key(cfg.seed))
+            for step in range(args.steps):
+                batch = {k: jnp.asarray(v) for k, v in sampler.sample_batch(
+                    cfg.gan.batch_size).items()}
+                state, m = train_syncnet.train_step(state, batch, jax.random.key(cfg.seed),
+                                                    cfg.gan)
+                writer.write(step, m)
+        return 0
+
+    if args.cmd == "train-diffusion":
+        from .core.metrics import ConsoleWriter, Metrics
+        from .pipelines import train_diffusion
+
+        if args.synthetic or not args.frame_index:
+            rng = np.random.default_rng(cfg.seed)
+            d = cfg.diffusion
+
+            def batch_fn():
+                return {
+                    "cond_frame": rng.integers(0, 256, (d.batch_size, d.im_size, d.im_size, 3),
+                                               dtype=np.uint8),
+                    "target_frame": rng.integers(0, 256, (d.batch_size, d.im_size, d.im_size, 3),
+                                                 dtype=np.uint8),
+                    "audio": rng.standard_normal((d.batch_size, d.audio_samples)).astype(np.float32),
+                }
+        else:
+            from .data.datasets import DiffusionPairSampler, load_frame_index
+
+            items = load_frame_index(args.frame_index)
+            sampler = DiffusionPairSampler(items, cfg.diffusion.audio_samples,
+                                           cfg.diffusion.buffer_frames)
+            batch_fn = lambda: sampler.sample_batch(cfg.diffusion.batch_size)
+        train_diffusion.train(
+            cfg.diffusion, batch_fn, num_steps=args.steps, seed=cfg.seed,
+            checkpoint_dir=args.checkpoint_dir,
+            metrics_writer=Metrics(ConsoleWriter(every=10)),
+        )
+        return 0
+
+    if args.cmd == "sample-diffusion":
+        import jax
+        import jax.numpy as jnp
+
+        from .core.checkpoint import load_once
+        from .pipelines import sample_diffusion, train_diffusion
+
+        d = cfg.diffusion
+        state = train_diffusion.create_state(d, jax.random.key(cfg.seed))
+        if args.checkpoint:
+            restored = load_once(args.checkpoint, {"params": state.params})
+            state = state.replace(params=restored["params"])
+        rng = np.random.default_rng(cfg.seed)
+        cond = jnp.asarray(rng.integers(0, 256, (1, d.im_size, d.im_size, 3), dtype=np.uint8))
+        audio = jnp.asarray(rng.standard_normal((1, d.audio_samples)).astype(np.float32))
+        x0, snaps = sample_diffusion.sample(state, cond, audio, jax.random.key(cfg.seed), d)
+        import cv2
+
+        img = np.asarray((x0[0] * 255)).astype(np.uint8)
+        cv2.imwrite(args.out, img[:, :, ::-1])
+        print(f"wrote {args.out} (+{snaps.shape[0]} snapshots available)")
+        return 0
+
+    if args.cmd == "infer-lipsync":
+        import jax
+
+        from .models.generator import TalkingFaceGenerator
+        from .models.s3fd import S3FD
+        from .pipelines.inference import lipsync_video
+
+        gen = TalkingFaceGenerator(width=cfg.gan.model_width)
+        import jax.numpy as jnp
+
+        gen_params = gen.init(
+            jax.random.key(cfg.seed),
+            jnp.zeros((1, 80, 16, 1)), jnp.zeros((1, 96, 96, 6)),
+        )["params"]
+        s3fd = S3FD()
+        s3fd_params = s3fd.init(jax.random.key(0), np.zeros((1, 128, 128, 3), np.float32))["params"]
+        res = lipsync_video(gen_params, s3fd_params, args.face, args.audio, args.out,
+                            cfg.gan, cfg.audio, cfg.preprocess, static_frame=args.static,
+                            model_width=cfg.gan.model_width)
+        print(f"wrote {args.out} ({len(res.frames)} frames, muxed={res.muxed})")
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

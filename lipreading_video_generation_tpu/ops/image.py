@@ -318,10 +318,19 @@ def clahe(
 
     pix = jnp.clip(jnp.round(xp), 0, nbins - 1).astype(jnp.int32)
 
+    # Per-pixel LUT lookups as flat gathers: index (tile_y·gw + tile_x)·nbins
+    # + pixel_value into the flattened (gh·gw·nbins) LUT — O(H·W) gathered
+    # elements per corner instead of materializing (H, W, nbins) slices.
+    lut_flat = lut.reshape(lead + (gh * gw * nbins,))
+    bflat = int(np.prod(lead)) if lead else 1
+    lut2 = lut_flat.reshape(bflat, gh * gw * nbins)
+    pix2 = pix.reshape(bflat, Hp, Wp)
+
     def lut_at(yi, xi):
-        # (..., Hp, Wp) lookup: LUT[tile_y, tile_x, pixel_value]
-        l = lut[..., yi, :, :][..., :, xi, :]  # (..., Hp, Wp, nbins)
-        return jnp.take_along_axis(l, pix[..., None], axis=-1)[..., 0]
+        tile_idx = yi[:, None] * gw + xi[None, :]              # (Hp, Wp)
+        gidx = tile_idx[None] * nbins + pix2                   # (B, Hp, Wp)
+        vals = jnp.take_along_axis(lut2, gidx.reshape(bflat, Hp * Wp), axis=-1)
+        return vals.reshape(lead + (Hp, Wp))
 
     v00 = lut_at(y0, x0)
     v01 = lut_at(y0, x1)

@@ -100,6 +100,36 @@ def train_step(
     return new_state, {"loss": loss, "t_mean": t.astype(jnp.float32).mean()}
 
 
+def train(
+    cfg: DiffusionConfig,
+    batch_fn,
+    num_steps: int = 1000,
+    seed: int = 0,
+    checkpoint_dir=None,
+    metrics_writer=None,
+    checkpoint_every: int = 500,
+) -> DiffusionTrainState:
+    """Step-driven loop (train.py:107-137 shape, step- not epoch-indexed):
+    q-sample + ε-MSE per step; periodic Orbax checkpoints replacing the
+    reference's bare per-epoch state_dict overwrite (train.py:137)."""
+    from ..core import prng
+    from ..core.checkpoint import CheckpointManager
+
+    key = prng.make_root_key(seed)
+    state = create_state(cfg, key)
+    mgr = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
+    for step in range(num_steps):
+        batch = {k: jnp.asarray(v) for k, v in batch_fn().items()}
+        state, metrics = train_step(state, batch, key, cfg)
+        if metrics_writer is not None:
+            metrics_writer.write(step, metrics)
+        if mgr is not None and (step + 1) % checkpoint_every == 0:
+            mgr.save(step + 1, {"params": state.params})
+    if mgr is not None:
+        mgr.wait()
+    return state
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def eval_step(
     state: DiffusionTrainState,

@@ -222,6 +222,65 @@ def maybe_open_sync_gate(state: GanTrainState, eval_sync_loss: float, cfg: GanCo
     return state
 
 
+def train(
+    cfg: GanConfig,
+    batch_fn,
+    eval_batch_fn=None,
+    num_steps: int = 1000,
+    seed: int = 0,
+    checkpoint_dir: Optional[str] = None,
+    audio_cfg: AudioConfig = AudioConfig(),
+    metrics_writer=None,
+    syncnet_params=None,
+    sample_dir: Optional[str] = None,
+) -> GanTrainState:
+    """Step-driven training loop (train_lipreading.py:91-199 shape):
+    G+D step each iteration; every ``eval_interval`` steps run eval and
+    maybe open the syncnet_wt gate; checkpoint every
+    ``checkpoint_interval``; periodic sample-image dumps
+    (save_sample_images, train_lipreading.py:57-68)."""
+    from ..core import prng
+    from ..core.checkpoint import CheckpointManager
+
+    key = prng.make_root_key(seed)
+    state = create_state(cfg, key, syncnet_params=syncnet_params)
+    mgr = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
+    for step in range(num_steps):
+        batch = {k: jnp.asarray(v) for k, v in batch_fn().items()}
+        state, metrics = gan_train_step(state, batch, key, cfg, audio_cfg)
+        if metrics_writer is not None:
+            metrics_writer.write(step, metrics)
+        if eval_batch_fn is not None and (step + 1) % cfg.eval_interval == 0:
+            eb = {k: jnp.asarray(v) for k, v in eval_batch_fn().items()}
+            em = gan_eval_step(state, eb, cfg, audio_cfg)
+            state = maybe_open_sync_gate(state, float(em["eval/sync_loss"]), cfg)
+            if metrics_writer is not None:
+                metrics_writer.write(step, em)
+        if mgr is not None and (step + 1) % cfg.checkpoint_interval == 0:
+            mgr.save(step + 1, {"gen": state.gen_params, "disc": state.disc_params,
+                                "syncnet_wt": float(state.syncnet_wt)})
+        if sample_dir is not None and (step + 1) % cfg.checkpoint_interval == 0:
+            import os
+
+            import numpy as np
+
+            os.makedirs(sample_dir, exist_ok=True)
+            g = generate_step(state, batch, cfg, audio_cfg)
+            collage = np.asarray(
+                (jnp.concatenate(list(g[0]), axis=1) * 255).astype(jnp.uint8)
+            )
+            try:
+                import cv2
+
+                cv2.imwrite(os.path.join(sample_dir, f"step{step+1}.jpg"),
+                            collage[:, :, ::-1])
+            except Exception:
+                pass
+    if mgr is not None:
+        mgr.wait()
+    return state
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "audio_cfg"))
 def generate_step(
     state: GanTrainState,
