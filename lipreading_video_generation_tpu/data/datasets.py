@@ -220,6 +220,27 @@ class DiffusionPairSampler:
         return {k: np.stack([r[k] for r in rows]) for k in rows[0]}
 
 
+def load_full_video_sample(
+    video_path: str,
+    transcript_path: Optional[str] = None,
+    audio_samples_per_frame: int = 640,  # 16 kHz / 25 fps
+) -> Dict[str, object]:
+    """Full-video sample: all frames + aligned raw audio + transcript —
+    the ``TalkingFaceDataset`` variant (video-generation/dataset.py:141-228;
+    audio embeddings are produced on device by models.AudioFeatureEncoder
+    rather than a baked-in torch Wav2Vec2)."""
+    from .manifest import parse_transcript
+
+    frames, fps = read_video_frames(video_path)
+    wav_path = os.path.splitext(video_path)[0] + ".wav"
+    wav = load_wav(wav_path) if os.path.exists(wav_path) else np.zeros(
+        int(len(frames) * audio_samples_per_frame), np.float32)
+    text = ""
+    if transcript_path and os.path.exists(transcript_path):
+        text, _ = parse_transcript(transcript_path)
+    return {"frames": frames, "audio": wav, "text": text, "fps": fps}
+
+
 # ---------------------------------------------------------------------------
 # Lipreading word-clip dataset (lipreading/get_data.py:22-60)
 # ---------------------------------------------------------------------------

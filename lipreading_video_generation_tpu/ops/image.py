@@ -99,6 +99,14 @@ def bgr_to_gray(img: jax.Array) -> jax.Array:
 # GAN window ops (dataset.py:157-168, inference.py:123-156)
 # ---------------------------------------------------------------------------
 
+def apply_mask(frames: jax.Array, mask: jax.Array) -> jax.Array:
+    """Elementwise mask of frames by a (H, W) {0,255}/bool mask — the
+    cv2.bitwise_and ``mask_frames`` utility (lipreading/preprocess.py:
+    154-162), batched over any leading dims."""
+    m = (mask > 0).astype(frames.dtype)
+    return frames * m[..., None]
+
+
 def mask_lower_half(img: jax.Array) -> jax.Array:
     """Zero the lower half (rows >= H/2) of (..., H, W, C) frames — the
     masked target window fed to the generator (dataset.py:160-162)."""
@@ -121,22 +129,33 @@ def crop_and_resize(
     img: jax.Array,
     box: jax.Array,
     out_size: Tuple[int, int],
-    method: str = "bilinear",
+    method: str = "linear",
 ) -> jax.Array:
     """Crop (y1, y2, x1, x2) from (H, W, C) and resize to out_size.
 
-    Jit-safe with traced boxes: implemented as a scale-and-translate sample
-    over a fixed output grid (the TPU-native form of cv2 crop+resize used all
-    over inference.py:123-131). Box coords are float pixels; the crop is
-    sampled with bilinear interpolation and zero padding outside the image.
+    Jit-safe with traced boxes — the TPU-native form of cv2 crop+resize
+    used all over inference.py:123-131. Implemented with
+    ``jax.image.scale_and_translate``, whose separable interpolation lowers
+    to two small matmuls (MXU) instead of per-pixel gathers; out-of-image
+    samples clamp to the edge. ``method``: 'linear' | 'cubic'.
     """
+    method = {"bilinear": "linear", "bicubic": "cubic"}.get(method, method)
     y1, y2, x1, x2 = box[0], box[1], box[2], box[3]
     oh, ow = out_size
-    H, W = img.shape[-3], img.shape[-2]
-    # half-pixel-center sample positions inside the box
-    ys = y1 + (jnp.arange(oh, dtype=jnp.float32) + 0.5) * (y2 - y1) / oh - 0.5
-    xs = x1 + (jnp.arange(ow, dtype=jnp.float32) + 0.5) * (x2 - x1) / ow - 0.5
-    return _bilinear_sample(img.astype(jnp.float32), ys, xs)
+    x = img.astype(jnp.float32)
+    # pixel-center mapping: out center o+0.5 ↦ in y1 + (o+0.5)(y2-y1)/oh;
+    # scale_and_translate maps in coord i to out i*scale + translation.
+    sy = oh / jnp.maximum(y2 - y1, 1e-3)
+    sx = ow / jnp.maximum(x2 - x1, 1e-3)
+    return jax.image.scale_and_translate(
+        x,
+        (oh, ow) + x.shape[2:],
+        (0, 1),
+        jnp.stack([sy, sx]),
+        jnp.stack([-y1 * sy, -x1 * sx]),
+        method=method,
+        antialias=False,
+    )
 
 
 def _bilinear_sample(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
@@ -306,39 +325,23 @@ def clahe(
     # OpenCV LUT: round((cdf - 0) * (nbins-1) / tile_area) — scale by area
     lut = jnp.clip(jnp.round(cdf * (nbins - 1) / tile_area), 0, nbins - 1)
 
-    # Bilinear interpolation between tile-center LUTs
-    ty = (jnp.arange(Hp, dtype=jnp.float32) + 0.5) / th - 0.5  # tile coord
-    tx = (jnp.arange(Wp, dtype=jnp.float32) + 0.5) / tw - 0.5
-    y0 = jnp.clip(jnp.floor(ty), 0, gh - 1).astype(jnp.int32)
-    x0 = jnp.clip(jnp.floor(tx), 0, gw - 1).astype(jnp.int32)
-    y1 = jnp.clip(y0 + 1, 0, gh - 1)
-    x1 = jnp.clip(x0 + 1, 0, gw - 1)
-    wy = jnp.clip(ty - y0.astype(jnp.float32), 0.0, 1.0)[:, None]
-    wx = jnp.clip(tx - x0.astype(jnp.float32), 0.0, 1.0)[None, :]
-
-    pix = jnp.clip(jnp.round(xp), 0, nbins - 1).astype(jnp.int32)
-
-    # Per-pixel LUT lookups as flat gathers: index (tile_y·gw + tile_x)·nbins
-    # + pixel_value into the flattened (gh·gw·nbins) LUT — O(H·W) gathered
-    # elements per corner instead of materializing (H, W, nbins) slices.
-    lut_flat = lut.reshape(lead + (gh * gw * nbins,))
+    # Gather-free interpolation: out[p] = Σ_corner w_c · LUT[tile_c, pix_p]
+    #                                  = BlendedLUT[p, pix_p]
+    # where BlendedLUT = bilinear upsample of the (gh, gw, nbins) LUT grid
+    # to (Hp, Wp, nbins). jax.image.resize('linear') uses half-pixel centers
+    # with edge clamp — exactly the tile-center weighting OpenCV uses — and
+    # lowers to two small matmuls. The final evaluation at each pixel's own
+    # value is a fused compare-select-reduce, no gathers.
     bflat = int(np.prod(lead)) if lead else 1
-    lut2 = lut_flat.reshape(bflat, gh * gw * nbins)
-    pix2 = pix.reshape(bflat, Hp, Wp)
-
-    def lut_at(yi, xi):
-        tile_idx = yi[:, None] * gw + xi[None, :]              # (Hp, Wp)
-        gidx = tile_idx[None] * nbins + pix2                   # (B, Hp, Wp)
-        vals = jnp.take_along_axis(lut2, gidx.reshape(bflat, Hp * Wp), axis=-1)
-        return vals.reshape(lead + (Hp, Wp))
-
-    v00 = lut_at(y0, x0)
-    v01 = lut_at(y0, x1)
-    v10 = lut_at(y1, x0)
-    v11 = lut_at(y1, x1)
-    out = (v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx
-           + v10 * wy * (1 - wx) + v11 * wy * wx)
-    out = out[..., :H, :W]
+    lut_b = lut.reshape(bflat, gh, gw, nbins).astype(jnp.bfloat16)
+    m = jax.image.resize(lut_b, (bflat, Hp, Wp, nbins), method="linear")
+    pix = jnp.clip(jnp.round(xp), 0, nbins - 1).astype(jnp.int32).reshape(bflat, Hp, Wp)
+    bins_iota = jnp.arange(nbins, dtype=jnp.int32)
+    out = jnp.sum(
+        jnp.where(pix[..., None] == bins_iota, m, jnp.bfloat16(0)).astype(jnp.float32),
+        axis=-1,
+    )
+    out = out.reshape(lead + (Hp, Wp))[..., :H, :W]
     if jnp.issubdtype(img.dtype, jnp.integer):
         return jnp.clip(jnp.round(out), 0, 255).astype(img.dtype)
     return out

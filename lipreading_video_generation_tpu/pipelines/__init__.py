@@ -6,6 +6,8 @@ from . import (  # noqa: F401
     train_diffusion,
     sample_diffusion,
     preprocess,
+    offline_preprocess,
+    feature_extraction,
     inference,
     sentence_eval,
     phonetics,

@@ -28,7 +28,7 @@ from ..ops import image as image_ops
 from .train_diffusion import DiffusionTrainState, normalize_audio
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "snapshot_every"))
+@functools.partial(jax.jit, static_argnames=("cfg", "snapshot_every", "use_ema"))
 def sample(
     state: DiffusionTrainState,
     cond_frame_uint8: jax.Array,   # (B, h, w, 3) uint8 condition frame
@@ -36,10 +36,13 @@ def sample(
     key: jax.Array,
     cfg: DiffusionConfig,
     snapshot_every: int = 50,
+    use_ema: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (x0 (B, H, W, 3) in [0,1], snapshots (S, B, H, W, 3))."""
+    """Returns (x0 (B, H, W, 3) in [0,1], snapshots (S, B, H, W, 3)).
+    ``use_ema`` samples with the EMA shadow params (utils.py:92-102)."""
     scheduler = make_scheduler(cfg.scheduler, cfg.num_timesteps, cfg.beta_start, cfg.beta_end)
     model = UNetAudio(cfg)
+    state = state.replace(params=state.ema_params) if use_ema else state
     cond_img = image_ops.normalize_uint8(
         image_ops.resize(cond_frame_uint8, (cfg.im_size, cfg.im_size)), symmetric=True
     )

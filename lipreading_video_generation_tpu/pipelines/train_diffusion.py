@@ -32,20 +32,31 @@ from . import losses
 class DiffusionTrainState:
     step: jax.Array
     params: Any
+    ema_params: Any              # EMA shadow (utils.py:92-102 update_ema)
     opt_state: Any
     tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+    ema_rate: float = flax.struct.field(pytree_node=False, default=0.9999)
 
 
-def create_state(cfg: DiffusionConfig, key: jax.Array) -> DiffusionTrainState:
+def create_state(cfg: DiffusionConfig, key: jax.Array, ema_rate: float = 0.9999) -> DiffusionTrainState:
     model = UNetAudio(cfg)
     xt = jnp.zeros((1, cfg.im_size, cfg.im_size, cfg.im_channels))
     cond = jnp.zeros((1, cfg.im_size, cfg.im_size, cfg.im_channels))
     wave = jnp.zeros((1, cfg.audio_samples))
     params = model.init(key, xt, cond, wave, jnp.zeros((1,), jnp.int32))["params"]
     tx = optax.adam(cfg.learning_rate)
+    # ema starts as a *copy* of params (donation-safe: no aliased buffers)
+    ema = jax.tree_util.tree_map(jnp.array, params)
     return DiffusionTrainState(
-        step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params), tx=tx
+        step=jnp.zeros((), jnp.int32), params=params, ema_params=ema,
+        opt_state=tx.init(params), tx=tx, ema_rate=ema_rate,
     )
+
+
+def update_ema(ema, params, rate: float):
+    """ema ← rate·ema + (1−rate)·params (video-generation/diffusion/
+    utils.py:92-102) as a pure tree map."""
+    return jax.tree_util.tree_map(lambda e, p: e * rate + p * (1.0 - rate), ema, params)
 
 
 def normalize_audio(wave: jax.Array) -> jax.Array:
@@ -96,7 +107,12 @@ def train_step(
     loss, grads = jax.value_and_grad(loss_fn)(state.params)
     updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
-    new_state = state.replace(step=state.step + 1, params=new_params, opt_state=new_opt)
+    new_state = state.replace(
+        step=state.step + 1,
+        params=new_params,
+        ema_params=update_ema(state.ema_params, new_params, state.ema_rate),
+        opt_state=new_opt,
+    )
     return new_state, {"loss": loss, "t_mean": t.astype(jnp.float32).mean()}
 
 

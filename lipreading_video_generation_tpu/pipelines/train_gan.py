@@ -46,16 +46,18 @@ class GanTrainState:
     disc_params: Any
     gen_opt: Any
     disc_opt: Any
-    syncnet_params: Any          # frozen expert
+    syncnet_params: Any          # frozen sync expert
     syncnet_wt: jax.Array        # the 0→0.03 gate, traced
-    gen_tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
-    disc_tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+    lip_expert_params: Any = None  # frozen lipreading expert (--lipreading path)
+    gen_tx: optax.GradientTransformation = flax.struct.field(pytree_node=False, default=None)
+    disc_tx: optax.GradientTransformation = flax.struct.field(pytree_node=False, default=None)
 
 
 def create_state(
     cfg: GanConfig,
     key: jax.Array,
     syncnet_params=None,
+    lip_expert_params=None,
 ) -> GanTrainState:
     gen = TalkingFaceGenerator(width=cfg.model_width)
     disc = Discriminator(width=cfg.model_width)
@@ -74,6 +76,12 @@ def create_state(
         )["params"]
     gen_tx = optax.adam(cfg.learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2)
     disc_tx = optax.adam(cfg.disc_learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2)
+    if lip_expert_params is None and cfg.lip_weight > 0:
+        from ..models.lip_expert import ConformerLipEncoder
+
+        lip_expert_params = ConformerLipEncoder(embed_dim=256, num_layers=2).init(
+            jax.random.fold_in(key, 3), jnp.zeros((1, t, 88, 88, 1))
+        )["params"]
     return GanTrainState(
         step=jnp.zeros((), jnp.int32),
         gen_params=gen_params,
@@ -82,6 +90,7 @@ def create_state(
         disc_opt=disc_tx.init(disc_params),
         syncnet_params=syncnet_params,
         syncnet_wt=jnp.asarray(cfg.syncnet_wt, jnp.float32),
+        lip_expert_params=lip_expert_params,
         gen_tx=gen_tx,
         disc_tx=disc_tx,
     )
@@ -157,7 +166,20 @@ def gan_train_step(
         sync = _sync_loss(state.syncnet_params, prep["mel"], g, cfg)
         fake_pred = disc.apply({"params": state.disc_params}, g)
         perceptual = losses.perceptual_adversarial_loss(fake_pred)
-        lip = jnp.zeros(())  # optional expert loss wired via train_gan_with_expert
+        # optional frozen lipreading-expert loss (--lipreading path,
+        # train_lipreading.py:128-133): expert-feature matching between
+        # generated and ground-truth mouth windows.
+        if cfg.lip_weight > 0 and state.lip_expert_params is not None:
+            from ..models.lip_expert import ConformerLipEncoder, avhubert_video_transform
+
+            enc = ConformerLipEncoder(embed_dim=256, num_layers=2)
+            gf = enc.apply({"params": state.lip_expert_params},
+                           avhubert_video_transform(g * 255.0))
+            tf_ = enc.apply({"params": state.lip_expert_params},
+                            avhubert_video_transform(prep["gt"] * 255.0))
+            lip = jnp.mean((gf - jax.lax.stop_gradient(tf_)) ** 2)
+        else:
+            lip = jnp.zeros(())
         total, metrics = losses.generator_loss(
             recon, sync, perceptual, lip, state.syncnet_wt, cfg.disc_wt, cfg.lip_weight
         )

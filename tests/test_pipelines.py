@@ -155,6 +155,40 @@ def test_syncnet_train_step():
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_vivit_full_train_loop_on_mesh():
+    """End-to-end train() over the 8-device CPU mesh: sharded batches,
+    best-accuracy snapshot (huggingface_vivit_model.py:70-95 semantics)."""
+    from lipreading_video_generation_tpu.core.config import Config
+    from lipreading_video_generation_tpu.core import config as config_mod
+
+    cfg = Config()
+    cfg = config_mod.parse_overrides(cfg, [
+        "vivit.num_classes=4", "vivit.hidden_size=64", "vivit.num_layers=1",
+        "vivit.num_heads=4", "vivit.mlp_dim=64", "vivit.dtype=float32",
+        "vivit.batch_size=16",
+    ])
+    clips, labels = datasets.synthetic_word_clips(n=64, num_classes=4)
+    sampler = datasets.WordClipSampler(clips, labels, max_frames=5)
+    state, best = train_vivit.train(
+        cfg,
+        lambda: sampler.batches(16),
+        lambda: sampler.batches(16, shuffle=False),
+        num_epochs=2,
+    )
+    assert 0.0 <= best["accuracy"] <= 1.0
+    assert int(state.step) == 2 * (64 // 16)
+
+
+def test_gan_train_step_with_lip_expert():
+    cfg = GanConfig(model_width=0.125, lip_weight=0.1)
+    state = train_gan.create_state(cfg, KEY)
+    assert state.lip_expert_params is not None
+    batch = {k: jnp.asarray(v) for k, v in _gan_batch().items()}
+    state, metrics = train_gan.gan_train_step(state, batch, KEY, cfg)
+    assert np.isfinite(float(metrics["loss/lip"]))
+    assert float(metrics["loss/lip"]) >= 0.0
+
+
 # --- diffusion -------------------------------------------------------------
 
 def _diff_batch(b=2, rng_seed=0):
