@@ -60,44 +60,53 @@ def attention_reference(
 # Pallas forward kernel
 # ---------------------------------------------------------------------------
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale, block_k, kv_len, causal, q_block):
-    """One (batch·head, q-block) program: stream K/V blocks, online softmax."""
-    q = q_ref[0].astype(jnp.float32) * sm_scale  # (block_q, D)
-    bq, d = q.shape
-    kv_pad = k_ref.shape[1]
-    num_kb = kv_pad // block_k
-
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
+    *, sm_scale, block_q, block_k, kv_len, causal,
+):
+    """Grid (batch·head, q-blocks, kv-blocks); the kv axis is sequential,
+    with the online-softmax state carried in VMEM scratch across kv steps.
+    Only one (block_q, D) Q tile and one (block_k, D) K/V tile live in VMEM
+    at a time, so sequence length is bounded by HBM, not VMEM."""
     qi = pl.program_id(1)
-    q_pos = qi * q_block + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
 
-    def body(kb, carry):
-        acc, m_prev, l_prev = carry
-        kv_start = kb * block_k
-        kblk = k_ref[0, pl.ds(kv_start, block_k), :].astype(jnp.float32)
-        vblk = v_ref[0, pl.ds(kv_start, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, kblk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (block_q, block_k)
-        k_pos = kv_start + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
-        mask = k_pos < kv_len
-        if causal:
-            mask = mask & (k_pos <= q_pos)
-        s = jnp.where(mask, s, _NEG_INF)
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p, vblk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        return acc, m_new, l_new
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
 
-    acc0 = jnp.zeros((bq, d), dtype=jnp.float32)
-    m0 = jnp.full((bq, 1), _NEG_INF, dtype=jnp.float32)
-    l0 = jnp.zeros((bq, 1), dtype=jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    q = q_ref[0].astype(jnp.float32) * sm_scale            # (block_q, D)
+    kblk = k_ref[0].astype(jnp.float32)                    # (block_k, D)
+    vblk = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, kblk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                                      # (block_q, block_k)
+    k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[-1]), 1)
+    mask = k_pos < kv_len
+    if causal:
+        q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1), 0)
+        mask = mask & (k_pos <= q_pos)
+    s = jnp.where(mask, s, _NEG_INF)
+
+    m_prev = m_ref[:]
+    l_prev = l_ref[:]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p, vblk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_ref[:] = m_new
+    l_ref[:] = l_new
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
 
 
 def _pad_to(x: jax.Array, axis: int, mult: int) -> jax.Array:
@@ -128,25 +137,33 @@ def _flash_forward(
     sq_pad = qp.shape[1]
     sk_pad = kp.shape[1]
 
-    grid = (b * h, sq_pad // block_q)
+    grid = (b * h, sq_pad // block_q, sk_pad // block_k)
     kernel = functools.partial(
         _flash_kernel,
         sm_scale=sm_scale,
+        block_q=block_q,
         block_k=block_k,
         kv_len=s_k,
         causal=causal,
-        q_block=block_q,
     )
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d_pad), lambda bh, qi: (bh, qi, 0)),
-            pl.BlockSpec((1, sk_pad, d_pad), lambda bh, qi: (bh, 0, 0)),
-            pl.BlockSpec((1, sk_pad, d_pad), lambda bh, qi: (bh, 0, 0)),
+            pl.BlockSpec((1, block_q, d_pad), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, block_k, d_pad), lambda bh, qi, ki: (bh, ki, 0)),
+            pl.BlockSpec((1, block_k, d_pad), lambda bh, qi, ki: (bh, ki, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda bh, qi: (bh, qi, 0)),
+        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda bh, qi, ki: (bh, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d_pad), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d_pad), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(qp, kp, vp)
     return out.reshape(b, h, sq_pad, d_pad)[:, :, :s_q, :d]

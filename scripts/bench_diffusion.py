@@ -1,0 +1,69 @@
+"""Secondary benchmark: diffusion denoise steps/sec at the reference's
+sampling config (500-step, 128×128 — BASELINE.md "diffusion sampling cost"
+row; reference runs 500 sequential host-driven U-Net forwards with
+per-step Wav2Vec2 re-encode, test.py:51-83).
+
+Relay-proof timing: the full scan IS a chain (each step depends on the
+previous xt), so one host fetch of the final image bounds the whole
+trajectory. Run: python scripts/bench_diffusion.py [--tiny]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true", help="16x16 quick config")
+    ap.add_argument("--batch", type=int, default=1)
+    args = ap.parse_args()
+
+    from lipreading_video_generation_tpu.core.config import DiffusionConfig
+    from lipreading_video_generation_tpu.pipelines import sample_diffusion, train_diffusion
+
+    if args.tiny:
+        cfg = DiffusionConfig(
+            im_size=16, base_channels=32, channel_mult=(1, 2), num_res_blocks=1,
+            attention_resolutions=(2,), num_heads=2, time_embed_dim=64,
+            audio_embed_dim=64, audio_proj_dim=16, im_cond_channels=8,
+            audio_samples=800, num_timesteps=50, dtype="float32",
+        )
+    else:
+        cfg = DiffusionConfig()  # 128×128, T=500, trained channel plan
+
+    rng = np.random.default_rng(0)
+    key = jax.random.key(0)
+    state = train_diffusion.create_state(cfg, key)
+    cond = jnp.asarray(rng.integers(0, 256, (args.batch, cfg.im_size, cfg.im_size, 3),
+                                    dtype=np.uint8))
+    audio = jnp.asarray(rng.standard_normal((args.batch, cfg.audio_samples)).astype(np.float32))
+
+    # compile + warm
+    x0, _ = sample_diffusion.sample(state, cond, audio, key, cfg)
+    _ = np.asarray(x0)
+
+    t0 = time.perf_counter()
+    x0, _ = sample_diffusion.sample(state, cond, audio, jax.random.key(1), cfg)
+    _ = np.asarray(x0)
+    total = time.perf_counter() - t0
+
+    steps_per_sec = cfg.num_timesteps / total
+    print(json.dumps({
+        "metric": "diffusion_denoise_steps_per_sec",
+        "value": round(steps_per_sec, 2),
+        "unit": f"steps/sec @ {cfg.im_size}x{cfg.im_size} batch={args.batch}",
+        "total_s": round(total, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
