@@ -81,6 +81,28 @@ def test_per_device_batch():
         pmesh.per_device_batch(12, spec)
 
 
+def test_gan_step_on_data_parallel_mesh():
+    """The GAN two-optimizer step with batch sharded over 8 devices."""
+    import jax.numpy as jnp
+
+    from lipreading_video_generation_tpu.core.config import GanConfig
+    from lipreading_video_generation_tpu.data.datasets import (
+        GanWindowSampler,
+        synthetic_gan_clips,
+    )
+    from lipreading_video_generation_tpu.pipelines import train_gan
+
+    spec = _spec()
+    cfg = GanConfig(model_width=0.125, batch_size=8)
+    state = train_gan.create_state(cfg, jax.random.key(0))
+    sampler = GanWindowSampler(synthetic_gan_clips(n_clips=2, frames=20), seed=0)
+    batch = pmesh.shard_batch(spec, sampler.sample_batch(8))
+    with spec.mesh:
+        state, metrics = train_gan.gan_train_step(state, batch, jax.random.key(0), cfg)
+    assert np.isfinite(float(metrics["loss/g_total"]))
+    assert int(state.step) == 1
+
+
 def test_tp_matmul_collective():
     """Tensor-parallel contraction: y = x @ W with W sharded on output dim →
     output sharded on model axis; a second contraction forces the gather."""
