@@ -59,9 +59,10 @@ def create_state(
     syncnet_params=None,
     lip_expert_params=None,
 ) -> GanTrainState:
-    gen = TalkingFaceGenerator(width=cfg.model_width)
-    disc = Discriminator(width=cfg.model_width)
-    sync = SyncNet(width=cfg.model_width)
+    dtype = jnp.dtype(cfg.dtype)
+    gen = TalkingFaceGenerator(width=cfg.model_width, dtype=dtype)
+    disc = Discriminator(width=cfg.model_width, dtype=dtype)
+    sync = SyncNet(width=cfg.model_width, dtype=dtype)
     kg, kd, ks = jax.random.split(key, 3)
     t = cfg.syncnet_T
     mel = jnp.zeros((1, t, 80, cfg.syncnet_mel_step_size, 1))
@@ -144,7 +145,8 @@ def _sync_loss(syncnet_params, mel, generated, cfg: GanConfig):
     """get_sync_loss (train_lipreading.py:83-89): lower halves of the T
     generated frames stacked on channels vs the window mel."""
     faces = stack_window_lower_half(generated)
-    a, v = SyncNet(width=cfg.model_width).apply({"params": syncnet_params}, mel, faces)
+    a, v = SyncNet(width=cfg.model_width, dtype=jnp.dtype(cfg.dtype)).apply(
+        {"params": syncnet_params}, mel, faces)
     return losses.cosine_bce_sync_loss(a, v)
 
 
@@ -157,8 +159,9 @@ def gan_train_step(
     audio_cfg: AudioConfig = AudioConfig(),
 ) -> Tuple[GanTrainState, Dict[str, jax.Array]]:
     prep = prepare_batch(batch, cfg, audio_cfg)
-    gen = TalkingFaceGenerator(width=cfg.model_width)
-    disc = Discriminator(width=cfg.model_width)
+    dtype = jnp.dtype(cfg.dtype)
+    gen = TalkingFaceGenerator(width=cfg.model_width, dtype=dtype)
+    disc = Discriminator(width=cfg.model_width, dtype=dtype)
 
     def g_loss_fn(gen_params):
         g = gen.apply({"params": gen_params}, prep["indiv_mels"], prep["x"])
@@ -225,7 +228,7 @@ def gan_eval_step(
     """Eval metrics incl. the sync loss that drives the gate
     (eval_model, train_lipreading.py:155-192) and PSNR parity metric."""
     prep = prepare_batch(batch, cfg, audio_cfg)
-    g = TalkingFaceGenerator(width=cfg.model_width).apply(
+    g = TalkingFaceGenerator(width=cfg.model_width, dtype=jnp.dtype(cfg.dtype)).apply(
         {"params": state.gen_params}, prep["indiv_mels"], prep["x"]
     )
     sync = _sync_loss(state.syncnet_params, prep["mel"], g, cfg)
@@ -313,6 +316,6 @@ def generate_step(
     """Sample generated windows for image dumps (save_sample_images,
     train_lipreading.py:57-68). Returns (B, T, H, W, 3) in [0,1]."""
     prep = prepare_batch(batch, cfg, audio_cfg)
-    return TalkingFaceGenerator(width=cfg.model_width).apply(
+    return TalkingFaceGenerator(width=cfg.model_width, dtype=jnp.dtype(cfg.dtype)).apply(
         {"params": state.gen_params}, prep["indiv_mels"], prep["x"]
     )
