@@ -1,4 +1,4 @@
-"""Reverse-diffusion sampling as one jitted ``lax.scan``.
+"""Reverse-diffusion sampling as jitted ``lax.scan`` segments.
 
 Capability target: sample_images (video-generation/diffusion/test.py:51-83):
 xt ~ N(0,1), loop t = T−1 … 0, ε̂ = model(xt, cond), xt ← posterior sample;
@@ -6,12 +6,14 @@ x0 previews every ``snapshot_every`` steps.
 
 The two reference inefficiencies this fixes (SURVEY.md §3.5):
 1. the Python loop launches 500 sequential host→device round trips — here
-   the whole trajectory is one ``lax.scan`` inside one jit;
+   the trajectory runs as device-side ``lax.scan`` segments (one jit,
+   ``segment_size`` steps per dispatch; segmenting also keeps any single
+   device program under execution-watchdog limits);
 2. Wav2Vec2 conditioning was re-encoded EVERY step (test.py:62) — here
    ``encode_condition`` runs once and the scan carries only xt.
 
-x0 snapshots come back as a stacked (num_snapshots, ...) array from the
-scan's ys — no per-step host sync.
+x0 snapshots come back as a stacked (num_snapshots, ...) array — no
+per-step host sync.
 """
 from __future__ import annotations
 
@@ -20,6 +22,7 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.config import DiffusionConfig
 from ..models.schedulers import make_scheduler
@@ -28,7 +31,48 @@ from ..ops import image as image_ops
 from .train_diffusion import DiffusionTrainState, normalize_audio
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "snapshot_every", "use_ema"))
+@functools.partial(jax.jit, static_argnames=("cfg", "use_ema"))
+def encode_condition(
+    state: DiffusionTrainState,
+    cond_frame_uint8: jax.Array,
+    audio_wave: jax.Array,
+    cfg: DiffusionConfig,
+    use_ema: bool = False,
+) -> jax.Array:
+    model = UNetAudio(cfg)
+    params = state.ema_params if use_ema else state.params
+    cond_img = image_ops.normalize_uint8(
+        image_ops.resize(cond_frame_uint8, (cfg.im_size, cfg.im_size)), symmetric=True
+    )
+    return model.apply({"params": params}, normalize_audio(audio_wave), cond_img,
+                       method=UNetAudio.encode_condition)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_ema"))
+def _scan_segment(
+    state: DiffusionTrainState,
+    xt: jax.Array,
+    cond_map: jax.Array,
+    ts: jax.Array,          # (seg,) descending timesteps
+    key: jax.Array,
+    cfg: DiffusionConfig,
+    use_ema: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    scheduler = make_scheduler(cfg.scheduler, cfg.num_timesteps, cfg.beta_start, cfg.beta_end)
+    model = UNetAudio(cfg)
+    params = state.ema_params if use_ema else state.params
+    b = xt.shape[0]
+
+    def step(carry, t):
+        xt = carry
+        tb = jnp.full((b,), t, jnp.int32)
+        eps = model.apply({"params": params}, xt, cond_map, tb, method=UNetAudio.denoise)
+        xt_prev, x0 = scheduler.sample_prev_timestep(xt, eps, tb, jax.random.fold_in(key, t))
+        return xt_prev, x0
+
+    return jax.lax.scan(step, xt, ts)
+
+
 def sample(
     state: DiffusionTrainState,
     cond_frame_uint8: jax.Array,   # (B, h, w, 3) uint8 condition frame
@@ -37,37 +81,25 @@ def sample(
     cfg: DiffusionConfig,
     snapshot_every: int = 50,
     use_ema: bool = False,
+    segment_size: int = 50,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (x0 (B, H, W, 3) in [0,1], snapshots (S, B, H, W, 3)).
     ``use_ema`` samples with the EMA shadow params (utils.py:92-102)."""
-    scheduler = make_scheduler(cfg.scheduler, cfg.num_timesteps, cfg.beta_start, cfg.beta_end)
-    model = UNetAudio(cfg)
-    state = state.replace(params=state.ema_params) if use_ema else state
-    cond_img = image_ops.normalize_uint8(
-        image_ops.resize(cond_frame_uint8, (cfg.im_size, cfg.im_size)), symmetric=True
-    )
-    cond_map = model.apply(
-        {"params": state.params}, normalize_audio(audio_wave), cond_img,
-        method=UNetAudio.encode_condition,
-    )
-    b = cond_img.shape[0]
+    cond_map = encode_condition(state, cond_frame_uint8, audio_wave, cfg, use_ema)
+    b = cond_frame_uint8.shape[0]
     k0, kloop = jax.random.split(key)
-    xt0 = jax.random.normal(k0, (b, cfg.im_size, cfg.im_size, cfg.im_channels))
+    xt = jax.random.normal(k0, (b, cfg.im_size, cfg.im_size, cfg.im_channels))
 
-    ts = jnp.arange(cfg.num_timesteps - 1, -1, -1)
-
-    def step(carry, t):
-        xt = carry
-        tb = jnp.full((b,), t, jnp.int32)
-        eps = model.apply({"params": state.params}, xt, cond_map, tb,
-                          method=UNetAudio.denoise)
-        xt_prev, x0 = scheduler.sample_prev_timestep(
-            xt, eps, tb, jax.random.fold_in(kloop, t)
-        )
-        return xt_prev, x0
-
-    xT_final, x0_traj = jax.lax.scan(step, xt0, ts)
-    snapshots = x0_traj[::snapshot_every]
-    final = (jnp.clip(xT_final, -1.0, 1.0) + 1.0) / 2.0
+    ts_all = np.arange(cfg.num_timesteps - 1, -1, -1)
+    seg = max(1, min(segment_size, cfg.num_timesteps))
+    # full-size segments share one compiled program; a trailing remainder
+    # segment (different static length) compiles once more at most.
+    snaps = []
+    for i in range(0, len(ts_all), seg):
+        chunk = jnp.asarray(ts_all[i : i + seg])
+        xt, x0_traj = _scan_segment(state, xt, cond_map, chunk, kloop, cfg, use_ema)
+        snaps.append(x0_traj[::snapshot_every])
+    snapshots = jnp.concatenate(snaps, axis=0) if snaps else jnp.zeros((0,) + xt.shape)
+    final = (jnp.clip(xt, -1.0, 1.0) + 1.0) / 2.0
     snapshots = (jnp.clip(snapshots, -1.0, 1.0) + 1.0) / 2.0
     return final, snapshots

@@ -134,7 +134,13 @@ def train(
     key = prng.make_root_key(seed)
     state = create_state(cfg, key)
     mgr = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
-    for step in range(num_steps):
+    start_step = 0
+    if mgr is not None and mgr.latest_step() is not None:
+        restored = mgr.restore({"params": state.params})
+        start_step = int(mgr.latest_step())
+        state = state.replace(params=restored["params"],
+                              step=jnp.asarray(start_step, jnp.int32))
+    for step in range(start_step, num_steps):
         batch = {k: jnp.asarray(v) for k, v in batch_fn().items()}
         state, metrics = train_step(state, batch, key, cfg)
         if metrics_writer is not None:

@@ -270,7 +270,21 @@ def train(
     key = prng.make_root_key(seed)
     state = create_state(cfg, key, syncnet_params=syncnet_params)
     mgr = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
-    for step in range(num_steps):
+    start_step = 0
+    if mgr is not None and mgr.latest_step() is not None:
+        # resume: restore params + gate, like load_checkpoint's optimizer/
+        # global-step restore (train_lipreading.py:285-305)
+        restored = mgr.restore({
+            "gen": state.gen_params, "disc": state.disc_params,
+            "syncnet_wt": float(state.syncnet_wt),
+        })
+        start_step = int(mgr.latest_step())
+        state = state.replace(
+            gen_params=restored["gen"], disc_params=restored["disc"],
+            syncnet_wt=jnp.asarray(restored["syncnet_wt"], jnp.float32),
+            step=jnp.asarray(start_step, jnp.int32),
+        )
+    for step in range(start_step, num_steps):
         batch = {k: jnp.asarray(v) for k, v in batch_fn().items()}
         state, metrics = gan_train_step(state, batch, key, cfg, audio_cfg)
         if metrics_writer is not None:
