@@ -198,8 +198,8 @@ def flash_attention(
     v: jax.Array,
     causal: bool = False,
     sm_scale: Optional[float] = None,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Flash attention over (B, H, S, D) tensors.
@@ -207,6 +207,8 @@ def flash_attention(
     Uses the Pallas TPU kernel when S is large enough to benefit; for tiny
     sequences (the 80-token ViViT case) the XLA reference path is faster
     than kernel launch + padding overhead, so we dispatch on size.
+    Block sizes default adaptively: long sequences get larger tiles so the
+    grid (and per-iteration overhead) shrinks ~16× at 16k tokens.
     """
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
@@ -215,6 +217,10 @@ def flash_attention(
     s_q, s_k = q.shape[2], k.shape[2]
     if s_q * s_k <= 128 * 128:
         return attention_reference(q, k, v, causal, sm_scale)
+    if block_q is None:
+        block_q = 512 if s_q >= 4096 else 128
+    if block_k is None:
+        block_k = 512 if s_k >= 4096 else 128
     return _flash(q, k, v, causal, sm_scale, block_q, block_k, interpret)
 
 

@@ -51,6 +51,14 @@ def test_flash_cross_attention(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4)
 
 
+def test_flash_large_blocks(rng):
+    # the big-tile configuration used for long sequences
+    q, k, v = _qkv(rng, b=1, h=1, s=640, d=16)
+    got = flash_attention(q, k, v, block_q=256, block_k=256, interpret=True)
+    want = attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4)
+
+
 def test_flash_gradients_match(rng):
     q, k, v = _qkv(rng, b=1, h=1, s=160, d=16)
 
