@@ -78,9 +78,16 @@ def replicated(spec: MeshSpec) -> NamedSharding:
 
 
 def shard_batch(spec: MeshSpec, batch):
-    """Place a pytree of host arrays on the mesh, batch-sharded on axis 0."""
+    """Place a pytree of host arrays on the mesh, batch-sharded on axis 0.
+
+    Arrays whose leading dim doesn't divide the data axis (e.g. a small
+    final batch) are replicated instead — correctness is preserved, only
+    that batch loses the sharding speedup.
+    """
     def _put(x):
-        return jax.device_put(x, batch_sharding(spec, np.ndim(x)))
+        if np.ndim(x) >= 1 and np.shape(x)[0] % spec.data_size == 0:
+            return jax.device_put(x, batch_sharding(spec, np.ndim(x)))
+        return jax.device_put(x, replicated(spec))
 
     return jax.tree_util.tree_map(_put, batch)
 

@@ -1,0 +1,121 @@
+"""End-to-end lipreading orchestration — the reference's main.py flow.
+
+Capability target: lipreading/main.py:29-62 — walk the LRS2 tree, extract
+per-word mouth-ROI clips, build the vocabulary, train the ViViT classifier,
+and evaluate, including sentence-level eval inputs (sentence_start_idx).
+
+The per-frame host loop (MediaPipe + cv2 per frame, get_data.py:37-49)
+becomes: batched S3FD detection + one fused device program per clip
+(pipelines/preprocess.mouth_roi_pipeline).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from ..core.config import Config
+from ..data import video as video_io
+from ..data.datasets import WordClipSampler
+from ..data.manifest import ClipRecord, build_manifest, build_vocab, word_windows
+from ..models.s3fd import S3FD
+from . import sentence_eval as se
+from . import train_vivit
+from .preprocess import preprocess_clip_for_lipreading
+
+
+@dataclasses.dataclass
+class LipreadingDataset:
+    """prepare_all_videos outputs (feature_extraction.py:38-93 analog)."""
+
+    clips: List[np.ndarray]          # (T, h, w, 1) uint8 each
+    labels: np.ndarray               # (N,) word ids
+    words: List[str]
+    vocab: Dict[str, int]
+    sentence_start_idx: List[int]    # first word index of each clip/sentence
+    transcripts: List[str]
+
+
+def build_word_clip_dataset(
+    cfg: Config,
+    records: Sequence[ClipRecord],
+    s3fd_params=None,
+    max_clips: Optional[int] = None,
+) -> LipreadingDataset:
+    """LRS2 records → per-word ROI clips + labels + sentence boundaries."""
+    if s3fd_params is None:
+        s3fd_params = S3FD().init(
+            jax.random.key(0), np.zeros((1, 64, 64, 3), np.float32)
+        )["params"]
+    vocab = build_vocab(records)
+    clips: List[np.ndarray] = []
+    words: List[str] = []
+    labels: List[int] = []
+    starts: List[int] = []
+    transcripts: List[str] = []
+    for rec in records[: max_clips or len(records)]:
+        spans = word_windows(rec, cfg.gan.fps)
+        if not spans:
+            continue
+        try:
+            frames, _ = video_io.read_video_frames(rec.video_path)
+        except (OSError, ValueError):
+            continue
+        cclips, cwords = preprocess_clip_for_lipreading(
+            frames, s3fd_params, spans, cfg.preprocess, cfg.vivit.num_frames
+        )
+        starts.append(len(words))
+        transcripts.append(rec.text)
+        for clip, word in zip(cclips, cwords):
+            clips.append(clip)
+            words.append(word)
+            labels.append(vocab.get(word.upper(), 0))
+    return LipreadingDataset(
+        clips=clips, labels=np.asarray(labels, np.int32), words=words, vocab=vocab,
+        sentence_start_idx=starts, transcripts=transcripts,
+    )
+
+
+def run(
+    cfg: Config,
+    data_root: str,
+    num_epochs: Optional[int] = None,
+    max_clips: Optional[int] = None,
+    metrics_writer=None,
+) -> Tuple[train_vivit.TrainState, Dict[str, float]]:
+    """Full pipeline: manifest → word clips → ViViT train → word accuracy +
+    sentence-level beam-search accuracy (main.py:29-62 + sentence_eval)."""
+    from ..core.config import replace as cfg_replace
+
+    records, skipped = build_manifest(data_root, require_transcript=True)
+    ds = build_word_clip_dataset(cfg, records, max_clips=max_clips)
+    if not ds.clips:
+        raise ValueError(f"no word clips extracted from {data_root!r} ({skipped} skipped)")
+
+    vivit_cfg = cfg_replace(cfg.vivit, num_classes=max(2, len(ds.vocab)))
+    cfg = cfg_replace(cfg, vivit=vivit_cfg)
+    sampler = WordClipSampler(ds.clips, ds.labels, cfg.vivit.num_frames, seed=cfg.seed)
+    state, best = train_vivit.train(
+        cfg,
+        lambda: sampler.batches(min(cfg.vivit.batch_size, len(ds.clips))),
+        lambda: sampler.batches(min(cfg.vivit.batch_size, len(ds.clips)), shuffle=False),
+        num_epochs=num_epochs,
+        metrics_writer=metrics_writer,
+    )
+
+    # sentence-level eval over the full word sequence (sentence_eval.py:36-56)
+    import jax.numpy as jnp
+
+    fixed = np.stack([sampler._fix(c) for c in ds.clips])
+    logp = np.asarray(train_vivit.predict_step(state, jnp.asarray(fixed)))
+    vocab_list = [w for w, _ in sorted(ds.vocab.items(), key=lambda kv: kv[1])]
+    scorer = se.NgramScorer().fit(ds.transcripts)
+    sent_acc = se.evaluate_sentences(
+        logp, ds.labels, ds.sentence_start_idx, vocab_list, scorer,
+        word_top_k=cfg.sentence_eval.word_top_k,
+        beam_width=cfg.sentence_eval.beam_width,
+        keep_top=cfg.sentence_eval.keep_top,
+    )
+    return state, {**best, "sentence_accuracy": sent_acc}

@@ -144,7 +144,9 @@ def train(
                 stats = evaluate(state, map(lambda b: shard_batch(spec, b), eval_batches_fn()))
                 if stats["accuracy"] > best["accuracy"]:
                     best = stats
-                    best_params = jax.tree_util.tree_map(lambda x: x, state.params)
+                    # real copy — train_step donates its input state, so an
+                    # alias would be deleted by the next step
+                    best_params = jax.tree_util.tree_map(jnp.array, state.params)
     if best["accuracy"] >= 0:
         state = state.replace(params=best_params)
     return state, best
