@@ -166,6 +166,22 @@ def detect_faces(
     return jax.vmap(per_image)(boxes, scores)
 
 
+def flip_detect(
+    model: S3FD,
+    params,
+    images_bgr: jax.Array,
+    **kwargs,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Detect on horizontally-flipped images and mirror the boxes back —
+    the flip-TTA variant (detect.py:96-106). Same outputs as detect_faces."""
+    w = images_bgr.shape[2]
+    boxes, scores, valid = detect_faces(model, params, images_bgr[:, :, ::-1], **kwargs)
+    flipped = jnp.stack(
+        [w - boxes[..., 2], boxes[..., 1], w - boxes[..., 0], boxes[..., 3]], axis=-1
+    )
+    return flipped, scores, valid
+
+
 # ---------------------------------------------------------------------------
 # torch s3fd.pth weight port
 # ---------------------------------------------------------------------------

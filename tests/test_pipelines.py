@@ -155,6 +155,20 @@ def test_syncnet_train_step():
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_gan_training_reduces_reconstruction_loss():
+    """Short GAN run: L1 reconstruction must drop — training-convergence
+    smoke (SURVEY.md §4 item (c))."""
+    cfg = GanConfig(model_width=0.125, batch_size=2, dtype="float32")
+    state = train_gan.create_state(cfg, KEY)
+    batch = {k: jnp.asarray(v) for k, v in _gan_batch().items()}
+    first = None
+    for _ in range(12):
+        state, metrics = train_gan.gan_train_step(state, batch, KEY, cfg)
+        if first is None:
+            first = float(metrics["loss/l1"])
+    assert float(metrics["loss/l1"]) < first
+
+
 def test_vivit_full_train_loop_on_mesh():
     """End-to-end train() over the 8-device CPU mesh: sharded batches,
     best-accuracy snapshot (huggingface_vivit_model.py:70-95 semantics)."""
