@@ -1,3 +1,4 @@
+from . import distributed  # noqa: F401
 from .mesh import (  # noqa: F401
     MeshSpec,
     build_mesh,
