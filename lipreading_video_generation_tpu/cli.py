@@ -77,6 +77,11 @@ def main(argv: List[str] | None = None) -> int:
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--synthetic", action="store_true")
 
+    p = _base_parser(sub, "lipread-e2e", "LRS2 → word clips → ViViT train → sentence eval")
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--max-clips", type=int, default=None)
+
     p = _base_parser(sub, "sample-diffusion", "reverse-diffusion sampling")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--out", required=True)
@@ -204,6 +209,16 @@ def main(argv: List[str] | None = None) -> int:
             checkpoint_dir=args.checkpoint_dir,
             metrics_writer=Metrics(ConsoleWriter(every=10)),
         )
+        return 0
+
+    if args.cmd == "lipread-e2e":
+        from .pipelines import lipreading_e2e
+
+        state, stats = lipreading_e2e.run(
+            cfg, args.data_root, num_epochs=args.epochs, max_clips=args.max_clips
+        )
+        print(f"word accuracy={stats.get('accuracy'):.4f} "
+              f"sentence accuracy={stats.get('sentence_accuracy'):.4f}")
         return 0
 
     if args.cmd == "sample-diffusion":

@@ -20,7 +20,6 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .manifest import ClipRecord, word_windows
 from .video import load_wav, read_video_frames
 
 

@@ -11,7 +11,7 @@ import ctypes
 import os
 import subprocess
 import threading
-from typing import Iterator, Optional, Sequence, Tuple
+from typing import Iterator, Sequence, Tuple
 
 import numpy as np
 

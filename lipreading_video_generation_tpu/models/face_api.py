@@ -11,13 +11,12 @@ torch model + per-position host loops.
 from __future__ import annotations
 
 import enum
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.config import PreprocessConfig
 from .s3fd import S3FD, detect_faces
 
 

@@ -15,8 +15,6 @@ Output:  (B, T, 96, 96, 3) in [0, 1].
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -15,7 +15,7 @@ TPU-first idiom notes (vs the reference's torch modules):
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Tuple, Union
 
 import jax
 import jax.numpy as jnp

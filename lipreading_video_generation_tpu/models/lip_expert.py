@@ -18,8 +18,6 @@ the expert is a pluggable interface (SURVEY.md §7.7):
 """
 from __future__ import annotations
 
-from typing import Protocol
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

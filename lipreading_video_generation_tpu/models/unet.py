@@ -18,11 +18,10 @@ configured downsample factors (:271-406), zero-initialized output conv
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from ..ops.attention import mha

@@ -15,8 +15,6 @@ encoder is the pluggable JAX-native ``AudioFeatureEncoder``.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

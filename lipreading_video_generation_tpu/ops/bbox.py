@@ -10,7 +10,7 @@ static shapes (SURVEY.md §7 hard part #3).
 """
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

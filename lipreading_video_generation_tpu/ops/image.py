@@ -12,8 +12,7 @@ resize/CLAHE feed learned models, so downstream-accuracy parity is the spec.
 """
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

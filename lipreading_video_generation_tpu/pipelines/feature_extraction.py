@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +28,6 @@ from flax.training import train_state
 from ..core.config import FeatureTransformerConfig
 from ..models.densenet import DenseNet121, imagenet_preprocess
 from ..models.vivit import FeatureTransformer
-from ..ops import image as image_ops
 from . import losses
 
 

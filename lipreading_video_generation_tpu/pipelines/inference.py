@@ -15,7 +15,6 @@ retry (:76-87) is unnecessary — batch sizes are static and chosen up front.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

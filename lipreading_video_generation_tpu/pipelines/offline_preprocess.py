@@ -21,7 +21,6 @@ import traceback
 from typing import List, Optional, Sequence, Tuple
 
 import cv2
-import numpy as np
 
 from ..core.config import PreprocessConfig
 from ..data import video as video_io

@@ -21,8 +21,7 @@ slice of the clip list (see pipelines/offline_preprocess).
 from __future__ import annotations
 
 import functools
-import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

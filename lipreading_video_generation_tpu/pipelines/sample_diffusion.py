@@ -18,7 +18,7 @@ per-step host sync.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

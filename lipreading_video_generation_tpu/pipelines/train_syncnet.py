@@ -19,8 +19,6 @@ import optax
 
 from ..core.config import AudioConfig, GanConfig
 from ..models.syncnet import SyncNet, stack_window_lower_half
-from ..ops import audio as audio_ops
-from ..ops import image as image_ops
 from . import losses
 from .train_gan import prepare_batch
 
