@@ -2,7 +2,7 @@ from .vivit import ViViT, FeatureTransformer  # noqa: F401
 from .generator import TalkingFaceGenerator  # noqa: F401
 from .discriminator import Discriminator, lower_half  # noqa: F401
 from .syncnet import SyncNet, stack_window_lower_half  # noqa: F401
-from .unet import UNetModel  # noqa: F401
+from .unet import UNetModel, EncoderUNetModel, SuperResModel  # noqa: F401
 from .unet_audio import UNetAudio  # noqa: F401
 from .audio_encoder import AudioFeatureEncoder  # noqa: F401
 from .schedulers import (  # noqa: F401

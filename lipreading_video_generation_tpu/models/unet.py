@@ -115,6 +115,50 @@ class Upsample(nn.Module):
         return nn.Conv(c, (3, 3), padding=1, dtype=self.dtype)(x)
 
 
+class EncoderUNetModel(nn.Module):
+    """The down-path half of the U-Net with a pooled head — the
+    classifier(-guidance) variant (unet.py:695-905): same stem/ResBlock/
+    attention structure as UNetModel's encoder, then GroupNorm→SiLU→
+    spatial-mean pool → Dense(num_out)."""
+
+    num_out: int = 1000
+    base_channels: int = 64
+    channel_mult: Tuple[int, ...] = (1, 2, 4, 8)
+    num_res_blocks: int = 2
+    attention_resolutions: Tuple[int, ...] = (2, 4)
+    num_heads: int = 4
+    time_embed_dim: int = 256
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, t: jax.Array, deterministic: bool = True) -> jax.Array:
+        emb = timestep_embedding(t, self.base_channels)
+        emb = nn.Dense(self.time_embed_dim, dtype=jnp.float32)(emb)
+        emb = nn.Dense(self.time_embed_dim, dtype=jnp.float32)(nn.silu(emb))
+        h = nn.Conv(self.base_channels, (3, 3), padding=1, dtype=self.dtype)(
+            x.astype(self.dtype)
+        )
+        ds = 1
+        for level, mult in enumerate(self.channel_mult):
+            ch = self.base_channels * mult
+            for _ in range(self.num_res_blocks):
+                h = ResBlock(ch, self.dropout, self.dtype)(h, emb, deterministic)
+                if ds in self.attention_resolutions:
+                    h = AttentionBlock(self.num_heads, self.dtype)(h)
+            if level != len(self.channel_mult) - 1:
+                h = Downsample(self.dtype)(h)
+                ds *= 2
+        ch = self.base_channels * self.channel_mult[-1]
+        h = ResBlock(ch, self.dropout, self.dtype)(h, emb, deterministic)
+        h = AttentionBlock(self.num_heads, self.dtype)(h)
+        h = ResBlock(ch, self.dropout, self.dtype)(h, emb, deterministic)
+        h = _group_norm(h)(h)
+        h = nn.silu(h)
+        h = jnp.mean(h, axis=(1, 2))
+        return nn.Dense(self.num_out, dtype=jnp.float32)(h)
+
+
 class UNetModel(nn.Module):
     """(B, H, W, C_in) + (B,) timesteps → (B, H, W, out_channels)."""
 
@@ -176,3 +220,23 @@ class UNetModel(nn.Module):
         return nn.Conv(
             self.out_channels, (3, 3), padding=1, kernel_init=zero_init, dtype=jnp.float32
         )(h)
+
+
+class SuperResModel(nn.Module):
+    """Super-resolution U-Net (unet.py:678-693): denoises a high-res frame
+    conditioned on the bilinearly-upsampled low-res input, channel-concat."""
+
+    unet: UNetModel
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,           # (B, H, W, C) noisy high-res
+        low_res: jax.Array,     # (B, h, w, C) conditioning image
+        t: jax.Array,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        b, h, w, c = x.shape
+        up = jax.image.resize(low_res.astype(jnp.float32), (b, h, w, low_res.shape[-1]),
+                              method="bilinear")
+        return self.unet(jnp.concatenate([x, up.astype(x.dtype)], axis=-1), t, deterministic)

@@ -176,3 +176,27 @@ def test_avhubert_video_transform():
     assert out.shape == (1, 3, 88, 88, 1)
     # gray(128)/255 ≈ 0.502 → (0.502-0.421)/0.165 ≈ 0.49
     np.testing.assert_allclose(np.asarray(out).mean(), 0.49, atol=0.02)
+
+
+def test_encoder_unet_head():
+    model = M.EncoderUNetModel(num_out=5, base_channels=32, channel_mult=(1, 2),
+                               num_res_blocks=1, attention_resolutions=(2,),
+                               num_heads=2, time_embed_dim=64)
+    x = jnp.zeros((2, 16, 16, 3))
+    t = jnp.asarray([0, 3])
+    params = model.init(KEY, x, t)["params"]
+    out = model.apply({"params": params}, x, t)
+    assert out.shape == (2, 5)
+
+
+def test_super_res_model():
+    unet = M.UNetModel(out_channels=3, base_channels=32, channel_mult=(1, 2),
+                       num_res_blocks=1, attention_resolutions=(), num_heads=2,
+                       time_embed_dim=64, remat=False)
+    model = M.SuperResModel(unet)
+    x = jnp.zeros((1, 16, 16, 3))
+    low = jnp.zeros((1, 8, 8, 3))
+    t = jnp.asarray([1])
+    params = model.init(KEY, x, low, t)["params"]
+    out = model.apply({"params": params}, x, low, t)
+    assert out.shape == (1, 16, 16, 3)
