@@ -96,11 +96,22 @@ def run(
 
     vivit_cfg = cfg_replace(cfg.vivit, num_classes=max(2, len(ds.vocab)))
     cfg = cfg_replace(cfg, vivit=vivit_cfg)
-    sampler = WordClipSampler(ds.clips, ds.labels, cfg.vivit.num_frames, seed=cfg.seed)
+    # train/test cut at a clip boundary — the test_train_cut_idx role
+    # (feature_extraction.py:38-93): last ~15% of sentences are held out
+    cut_sentence = max(1, int(0.85 * len(ds.sentence_start_idx)))
+    cut = (ds.sentence_start_idx[cut_sentence]
+           if cut_sentence < len(ds.sentence_start_idx) else len(ds.clips))
+    train_clips, train_labels = ds.clips[:cut], ds.labels[:cut]
+    test_clips, test_labels = ds.clips[cut:], ds.labels[cut:]
+    if not test_clips:  # tiny datasets: eval on train
+        test_clips, test_labels = train_clips, train_labels
+    sampler = WordClipSampler(train_clips, train_labels, cfg.vivit.num_frames, seed=cfg.seed)
+    test_sampler = WordClipSampler(test_clips, test_labels, cfg.vivit.num_frames, seed=cfg.seed)
+    bs = min(cfg.vivit.batch_size, len(train_clips), len(test_clips))
     state, best = train_vivit.train(
         cfg,
-        lambda: sampler.batches(min(cfg.vivit.batch_size, len(ds.clips))),
-        lambda: sampler.batches(min(cfg.vivit.batch_size, len(ds.clips)), shuffle=False),
+        lambda: sampler.batches(bs),
+        lambda: test_sampler.batches(bs, shuffle=False),
         num_epochs=num_epochs,
         metrics_writer=metrics_writer,
     )
