@@ -23,7 +23,12 @@ from .layers import TransformerBlock
 
 
 class TubeletEmbed(nn.Module):
-    """3-D conv patchify: (B, T, H, W, C) → (B, N_tokens, hidden)."""
+    """3-D patchify: (B, T, H, W, C) → (B, N_tokens, hidden).
+
+    Stride == kernel, so the "conv" is exactly a block reshape followed by
+    one (tt·th·tw·C → hidden) matmul — much faster on TPU than the
+    degenerate C_in=1 3-D convolution lowering.
+    """
 
     hidden_size: int
     tubelet: tuple
@@ -32,15 +37,12 @@ class TubeletEmbed(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         tt, th, tw = self.tubelet
-        x = nn.Conv(
-            self.hidden_size,
-            kernel_size=(tt, th, tw),
-            strides=(tt, th, tw),
-            padding="VALID",
-            dtype=self.dtype,
-        )(x)
-        b = x.shape[0]
-        return x.reshape(b, -1, self.hidden_size)
+        b, t, h, w, c = x.shape
+        assert t % tt == 0 and h % th == 0 and w % tw == 0, "tubelet must tile input"
+        x = x.reshape(b, t // tt, tt, h // th, th, w // tw, tw, c)
+        x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)           # (B, nt, nh, nw, tt, th, tw, C)
+        x = x.reshape(b, (t // tt) * (h // th) * (w // tw), tt * th * tw * c)
+        return nn.Dense(self.hidden_size, dtype=self.dtype, name="proj")(x)
 
 
 class ViViT(nn.Module):

@@ -159,20 +159,29 @@ def lipsync_video(
         out = jax.vmap(paste_back)(frames_u8.astype(jnp.float32), g * 255.0, boxes_b)
         return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
 
-    bs = pre_cfg.gen_batch_size
-    outs = []
-    for i in range(0, num_out, bs):
-        fb = frames_seq[i : i + bs]
-        bb = boxes[i : i + bs]
-        mb = np.asarray(mel_windows[i : i + bs])
-        pad = bs - len(fb)
-        if pad:
-            fb = np.concatenate([fb, np.repeat(fb[-1:], pad, 0)])
-            bb = np.concatenate([bb, np.repeat(bb[-1:], pad, 0)])
-            mb = np.concatenate([mb, np.repeat(mb[-1:], pad, 0)])
-        out = np.asarray(gen_batch(jnp.asarray(fb), jnp.asarray(bb), jnp.asarray(mb)))
-        outs.append(out[: len(frames_seq[i : i + bs])])
-    result = np.concatenate(outs)
+    # one device program for the whole video: pad to a batch multiple and
+    # lax.map over batches — a single dispatch + single host fetch instead
+    # of one round trip per 128-frame batch (inference.py:261-265 looped)
+    bs = min(pre_cfg.gen_batch_size, num_out)
+    n_pad = (-num_out) % bs
+    fb = np.concatenate([frames_seq, np.repeat(frames_seq[-1:], n_pad, 0)])
+    bb = np.concatenate([boxes, np.repeat(boxes[-1:], n_pad, 0)])
+    mb = np.concatenate([np.asarray(mel_windows),
+                         np.repeat(np.asarray(mel_windows[-1:]), n_pad, 0)])
+    nb = len(fb) // bs
+
+    @jax.jit
+    def gen_all(frames_u8, boxes_all, mels_all):
+        batches = (
+            frames_u8.reshape((nb, bs) + frames_u8.shape[1:]),
+            boxes_all.reshape(nb, bs, 4),
+            mels_all.reshape((nb, bs) + mels_all.shape[1:]),
+        )
+        return jax.lax.map(lambda args: gen_batch(*args), batches)
+
+    result = np.asarray(
+        gen_all(jnp.asarray(fb), jnp.asarray(bb), jnp.asarray(mb))
+    ).reshape((-1,) + frames_seq.shape[1:])[:num_out]
 
     tmp_video = out_path + ".silent.mp4"
     video_io.write_video(tmp_video, result, fps)
