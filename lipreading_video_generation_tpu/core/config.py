@@ -59,19 +59,6 @@ class MeshConfig:
 
 
 @dataclass(frozen=True)
-class OptimizerConfig:
-    name: str = "adam"  # adam | adamw
-    learning_rate: float = 1e-4
-    b1: float = 0.9
-    b2: float = 0.999
-    weight_decay: float = 0.0
-    grad_clip_norm: float = 0.0  # 0 disables
-    # StepLR-style decay (reference: lipreading/huggingface_vivit_model.py:47)
-    lr_step_epochs: int = 0  # 0 disables
-    lr_step_gamma: float = 1.0
-
-
-@dataclass(frozen=True)
 class GanConfig:
     """Wav2Lip-style lip-sync GAN (reference: gan-model/preprocessing/params.py:67-85,
     gan-model/train_lipreading.py:31-44)."""

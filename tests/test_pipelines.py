@@ -155,6 +155,26 @@ def test_syncnet_train_step():
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_gan_train_loop_gate_and_checkpoint(tmp_path):
+    """train() loop: eval interval fires, gate flips when sync loss is low,
+    checkpoints are written and resumable."""
+    cfg = GanConfig(model_width=0.125, batch_size=2, eval_interval=2,
+                    checkpoint_interval=2, syncnet_gate_threshold=1e9,  # force flip
+                    dtype="float32")
+    clips = datasets.synthetic_gan_clips(n_clips=2, frames=20)
+    sampler = datasets.GanWindowSampler(clips, seed=0)
+    ckdir = str(tmp_path / "gan_ck")
+    state = train_gan.train(cfg, lambda: sampler.sample_batch(2),
+                            eval_batch_fn=lambda: sampler.sample_batch(2),
+                            num_steps=3, checkpoint_dir=ckdir)
+    assert float(state.syncnet_wt) == pytest.approx(0.03)  # gate opened
+    # resume picks up from the saved step
+    state2 = train_gan.train(cfg, lambda: sampler.sample_batch(2),
+                             num_steps=4, checkpoint_dir=ckdir)
+    assert int(state2.step) == 4
+    assert float(state2.syncnet_wt) == pytest.approx(0.03)  # gate persisted
+
+
 def test_gan_training_reduces_reconstruction_loss():
     """Short GAN run: L1 reconstruction must drop — training-convergence
     smoke (SURVEY.md §4 item (c))."""
