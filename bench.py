@@ -23,6 +23,7 @@ the reference publishes no numbers of its own).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -30,6 +31,12 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+# persistent compilation cache: remote TPU compiles take minutes; warm runs
+# (same program) start in seconds
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 NORTH_STAR_FPS = 2000.0
 
