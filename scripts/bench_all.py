@@ -1,0 +1,41 @@
+"""Run every benchmark surface (BASELINE.md rows) and write one JSON
+summary. Usage: python scripts/bench_all.py [--out bench_summary.json]"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
+
+
+def run(cmd):
+    out = subprocess.run(cmd, capture_output=True, text=True, cwd=ROOT)
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return {"error": out.stderr[-500:]}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="bench_summary.json")
+    ap.add_argument("--skip-diffusion", action="store_true")
+    args = ap.parse_args()
+
+    summary = {}
+    summary["pipeline"] = run([sys.executable, "bench.py"])
+    summary["gan_train"] = run([sys.executable, "scripts/bench_gan.py", "--steps", "5"])
+    if not args.skip_diffusion:
+        summary["diffusion_sampling"] = run([sys.executable, "scripts/bench_diffusion.py"])
+    with open(os.path.join(ROOT, args.out), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()
