@@ -117,6 +117,26 @@ def test_gan_prepare_batch_shapes():
     assert np.abs(x[..., 48:, :, 3:]).max() > 0
 
 
+def test_gan_indiv_mels_offset_semantics():
+    """indiv_mels[i] must be the mel window at frame start+i−2 (clamped),
+    start_idx = int(80·frame/fps) — get_segmented_mels, dataset.py:81-94."""
+    batch = {k: jnp.asarray(v) for k, v in _gan_batch().items()}
+    prep = train_gan.prepare_batch(batch, TINY_GAN, AudioConfig())
+    mel_full = np.asarray(
+        __import__("lipreading_video_generation_tpu.ops.audio", fromlist=["melspectrogram"])
+        .melspectrogram(batch["wav"], AudioConfig())
+    )
+    start = int(np.asarray(batch["start_frame"])[0])
+    t_mel = mel_full.shape[-1]
+    for i in range(TINY_GAN.syncnet_T):
+        frame = max(0, start + i - 2)
+        s = int(80.0 * frame / 25.0)
+        s = min(max(s, 0), t_mel - 16)
+        want = mel_full[0][:, s : s + 16]
+        got = np.asarray(prep["indiv_mels"][0, i, :, :, 0])
+        np.testing.assert_allclose(got, want, rtol=1e-5, err_msg=f"window {i}")
+
+
 def test_gan_train_step_runs_and_updates():
     state = train_gan.create_state(TINY_GAN, KEY)
     batch = {k: jnp.asarray(v) for k, v in _gan_batch().items()}
