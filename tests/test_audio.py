@@ -149,3 +149,22 @@ def test_mel_windows_batched():
     wins = np.asarray(audio.mel_windows(mel, jnp.asarray([0, 5, 10])))
     assert wins.shape == (3, 80, 16)
     assert wins[1, 0, 0] == 16.0  # 80 * 5/25
+
+
+def test_linearspectrogram_matches_golden(rng):
+    w = _wav(rng, 8000)
+    got = np.asarray(audio.linearspectrogram(jnp.asarray(w), CFG))
+    y = golden_preemphasis(w.astype(np.float64))
+    D = golden_stft_mag(y)
+    min_level = np.exp(CFG.min_level_db / 20 * np.log(10))
+    S = 20 * np.log10(np.maximum(min_level, D)) - CFG.ref_level_db
+    want = np.clip((2 * 4.0) * ((S + 100) / 100) - 4.0, -4.0, 4.0)
+    assert got.shape == want.shape == (401, 41)
+    assert np.max(np.abs(got - want)) < 2e-2
+
+
+def test_amp_db_roundtrip(rng):
+    x = rng.uniform(1e-4, 10, (80, 5)).astype(np.float32)
+    db = audio.amp_to_db(jnp.asarray(x))
+    back = np.asarray(audio.db_to_amp(db))
+    np.testing.assert_allclose(back, x, rtol=1e-3)

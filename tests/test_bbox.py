@@ -85,3 +85,12 @@ def test_dense_decode_scale(rng):
     assert scores.shape == (2, 16)
     s = np.asarray(scores)
     assert (s >= 0).all() and (s <= 1).all()
+
+
+def test_iou_matrix_golden(rng):
+    a = np.asarray([[0, 0, 9, 9]], dtype=np.float32)       # 10x10 box (+1 conv)
+    b = np.asarray([[0, 0, 9, 9], [5, 5, 14, 14], [20, 20, 29, 29]], dtype=np.float32)
+    iou = np.asarray(bbox.iou_matrix(jnp.asarray(a), jnp.asarray(b)))[0]
+    np.testing.assert_allclose(iou[0], 1.0, rtol=1e-6)
+    np.testing.assert_allclose(iou[1], 25.0 / (100 + 100 - 25), rtol=1e-6)
+    assert iou[2] == 0.0

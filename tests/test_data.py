@@ -128,3 +128,14 @@ def test_prefetch_to_device():
     batches = list(it)
     assert len(batches) == 3
     assert batches[0]["window"].shape == (2, 5, 96, 96, 3)
+
+
+def test_iterator_feed_protocol():
+    it = iter([{"x": np.zeros(2)}, {"x": np.ones(2)}])
+    fn = loader.iterator_feed(it)
+    assert fn()["x"].sum() == 0
+    assert fn()["x"].sum() == 2
+    import pytest as _pytest
+
+    with _pytest.raises(StopIteration):
+        fn()
