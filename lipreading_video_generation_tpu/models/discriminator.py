@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ConvBlock, fold_time
+from .layers import ConvBlock, fold_time, scale_channels
 
 
 def lower_half(faces: jax.Array) -> jax.Array:
@@ -20,9 +20,6 @@ def lower_half(faces: jax.Array) -> jax.Array:
     h = faces.shape[-3]
     return faces[..., h // 2 :, :, :]
 
-
-def _w(ch: int, width: float) -> int:
-    return max(8, int(round(ch * width / 8)) * 8)
 
 
 class Discriminator(nn.Module):
@@ -37,7 +34,7 @@ class Discriminator(nn.Module):
             faces, _ = fold_time(faces)
         x = lower_half(faces)                                      # (B, 48, 96, 3)
         d = dict(norm="none", act="leaky", dtype=self.dtype)
-        w = lambda ch: _w(ch, self.width)
+        w = lambda ch: scale_channels(ch, self.width)
         x = ConvBlock(w(32), 7, 1, 3, **d)(x)                         # 48x96
         x = ConvBlock(w(64), 5, (1, 2), 2, **d)(x)                    # 48x48
         x = ConvBlock(w(64), 5, 1, 2, **d)(x)

@@ -19,12 +19,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ConvBlock, ResConvBlock, UpsampleConv, fold_time, unfold_time
+from .layers import ConvBlock, ResConvBlock, UpsampleConv, fold_time, unfold_time, scale_channels
 
-
-def _w(ch: int, width: float) -> int:
-    """Scale a channel count; keeps ≥8 and multiples of 8 for TPU tiling."""
-    return max(8, int(round(ch * width / 8)) * 8)
 
 
 class AudioEncoder(nn.Module):
@@ -38,7 +34,7 @@ class AudioEncoder(nn.Module):
     @nn.compact
     def __call__(self, mel: jax.Array) -> jax.Array:
         d = dict(norm=self.norm, dtype=self.dtype)
-        w = lambda ch: _w(ch, self.width)
+        w = lambda ch: scale_channels(ch, self.width)
         x = ConvBlock(w(32), 3, 1, 1, **d)(mel)
         x = ResConvBlock(w(32), self.norm, self.dtype)(x)
         x = ResConvBlock(w(32), self.norm, self.dtype)(x)
@@ -66,7 +62,7 @@ class FaceEncoder(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array):
         d = dict(norm=self.norm, dtype=self.dtype)
-        w = lambda ch: _w(ch, self.width)
+        w = lambda ch: scale_channels(ch, self.width)
         feats = []
         x = ConvBlock(w(16), 7, 1, 3, **d)(x)                          # 96
         feats.append(x)
@@ -106,7 +102,7 @@ class FaceDecoder(nn.Module):
     @nn.compact
     def __call__(self, audio_emb: jax.Array, feats) -> jax.Array:
         d = dict(norm=self.norm, dtype=self.dtype)
-        w = lambda ch: _w(ch, self.width)
+        w = lambda ch: scale_channels(ch, self.width)
         feats = list(feats)
         x = ConvBlock(w(512), 1, 1, 0, **d)(audio_emb)                 # 1x1
         x = jnp.concatenate([x, feats.pop()], axis=-1)              # 1024 @ 1

@@ -28,6 +28,12 @@ def _pair(v: Pair) -> Tuple[int, int]:
     return (v, v) if isinstance(v, int) else tuple(v)
 
 
+def scale_channels(ch: int, width: float) -> int:
+    """Scale a channel count by a width multiplier; keeps >=8 and multiples
+    of 8 for TPU tiling. Used by the width-scalable GAN models."""
+    return max(8, int(round(ch * width / 8)) * 8)
+
+
 def fold_time(x: jax.Array) -> Tuple[jax.Array, int]:
     """(B, T, H, W, C) → (B·T, H, W, C); returns (folded, B)."""
     b, t = x.shape[0], x.shape[1]
@@ -155,9 +161,9 @@ class TransformerBlock(nn.Module):
 
         e = x.shape[-1]
         h = nn.LayerNorm(dtype=self.dtype)(x)
-        q = nn.Dense(e, dtype=self.dtype, name="q")(h)
-        k = nn.Dense(e, dtype=self.dtype, name="k")(h)
-        v = nn.Dense(e, dtype=self.dtype, name="v")(h)
+        # fused QKV projection: one (e, 3e) matmul instead of three (e, e)
+        qkv = nn.Dense(3 * e, dtype=self.dtype, name="qkv")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
         attn = mha(q, k, v, self.num_heads)
         attn = nn.Dense(e, dtype=self.dtype, name="proj")(attn)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)

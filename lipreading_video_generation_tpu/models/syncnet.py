@@ -17,11 +17,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ConvBlock, l2_normalize
+from .layers import ConvBlock, l2_normalize, scale_channels
 
-
-def _w(ch: int, width: float) -> int:
-    return max(8, int(round(ch * width / 8)) * 8)
 
 
 class SyncNet(nn.Module):
@@ -30,7 +27,7 @@ class SyncNet(nn.Module):
 
     def setup(self):
         d = dict(norm="group", dtype=self.dtype)
-        w = lambda ch: _w(ch, self.width)
+        w = lambda ch: scale_channels(ch, self.width)
         self.face_blocks = [
             ConvBlock(w(32), 7, 1, 3, **d),
             ConvBlock(w(64), 5, (1, 2), 1, **d),

@@ -233,17 +233,32 @@ def mha(
     use_flash: bool = True,
 ) -> jax.Array:
     """Multi-head attention over (B, S, E) inputs: split heads, attend,
-    merge. The convenience wrapper models use."""
+    merge. The convenience wrapper models use.
+
+    Short sequences take a transpose-free einsum path on the (B, S, H, D)
+    layout — at the 80-token ViViT scale the per-layer head transposes cost
+    more than the attention math itself.
+    """
     b, s_q, e = q.shape
     s_k = k.shape[1]
     hd = e // num_heads
 
+    if s_q * s_k <= 128 * 128 or not use_flash:
+        qh = q.reshape(b, s_q, num_heads, hd)
+        kh = k.reshape(b, s_k, num_heads, hd)
+        vh = v.reshape(b, s_k, num_heads, hd)
+        scale = 1.0 / math.sqrt(hd)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                            preferred_element_type=jnp.float32) * scale
+        if causal:
+            mask = jnp.tril(jnp.ones((s_q, s_k), dtype=bool), k=s_k - s_q)
+            logits = jnp.where(mask, logits, _NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh)
+        return out.reshape(b, s_q, e)
+
     def split(x, s):
         return x.reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3)
 
-    qh, kh, vh = split(q, s_q), split(k, s_k), split(v, s_k)
-    if use_flash:
-        out = flash_attention(qh, kh, vh, causal=causal)
-    else:
-        out = attention_reference(qh, kh, vh, causal=causal)
+    out = flash_attention(split(q, s_q), split(k, s_k), split(v, s_k), causal=causal)
     return out.transpose(0, 2, 1, 3).reshape(b, s_q, e)
