@@ -26,13 +26,15 @@ def test_embed_frames_shapes_and_padding():
 
 
 def test_feature_transformer_trains_on_separable_features():
-    cfg = FeatureTransformerConfig(num_classes=4, num_epochs=30, dense_dim=32,
+    cfg = FeatureTransformerConfig(num_classes=4, num_epochs=60, dense_dim=32,
                                    dropout=0.0, head_dropout=0.0, learning_rate=1e-2)
     rng = np.random.default_rng(0)
-    n = 64
+    n = 128
     labels = rng.integers(0, 4, n)
-    # features whose mean encodes the label
-    feats = rng.normal(0, 0.1, (n, 5, 16)).astype(np.float32) + labels[:, None, None]
+    # per-class direction patterns (LayerNorm-robust, unlike a mean shift)
+    patterns = rng.normal(0, 1.0, (4, 16)).astype(np.float32)
+    feats = (patterns[labels][:, None, :]
+             + rng.normal(0, 0.2, (n, 5, 16))).astype(np.float32)
     state, val = fx.train(cfg, feats, labels, batch_size=16)
     # smoke-level convergence: clearly better than the 25% chance level
     assert val["accuracy"] > 0.5
