@@ -183,9 +183,73 @@ def _flash_fwd(q, k, v, causal, sm_scale, block_q, block_k, interpret):
     return out, (q, k, v)
 
 
+def _blockwise_attention_xla(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    causal: bool,
+    sm_scale: float,
+    block_k: int = 2048,
+) -> jax.Array:
+    """Online-softmax attention as a checkpointed ``lax.scan`` over K/V
+    blocks — pure XLA, O(S·block) memory, numerically identical to the
+    dense reference. Used as the autodiff target for the flash backward:
+    differentiating through the (rematerialized) scan keeps the backward
+    pass memory-bounded instead of materializing the (S, S) score matrix.
+    """
+    b, h, s_q, d = q.shape
+    s_k = k.shape[2]
+    bk = min(block_k, max(8, 1 << (s_k - 1).bit_length()))
+    pad = (-s_k) % bk
+    kp = _pad_to(k, 2, bk)
+    vp = _pad_to(v, 2, bk)
+    nb = kp.shape[2] // bk
+    kb = kp.reshape(b, h, nb, bk, d).transpose(2, 0, 1, 3, 4)   # (nb, B, H, bk, D)
+    vb = vp.reshape(b, h, nb, bk, d).transpose(2, 0, 1, 3, 4)
+    qf = q.astype(jnp.float32) * sm_scale
+    q_pos = jax.lax.broadcasted_iota(jnp.int32, (s_q, 1), 0)
+
+    @jax.checkpoint
+    def body(carry, blk):
+        acc, m, l = carry
+        k_cur, v_cur, blk_idx = blk
+        s = jnp.einsum("bhqd,bhkd->bhqk", qf, k_cur.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        k_pos = blk_idx * bk + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+        mask = k_pos < s_k
+        if causal:
+            mask = mask & (k_pos <= q_pos)
+        s = jnp.where(mask, s, _NEG_INF)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jnp.einsum(
+            "bhqk,bhkd->bhqd", p, v_cur.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        return (acc_new, m_new, l_new), None
+
+    acc0 = jnp.zeros((b, h, s_q, d), jnp.float32)
+    m0 = jnp.full((b, h, s_q, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((b, h, s_q, 1), jnp.float32)
+    (acc, m, l), _ = jax.lax.scan(
+        body, (acc0, m0, l0), (kb, vb, jnp.arange(nb))
+    )
+    return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
+
+
 def _flash_bwd(causal, sm_scale, block_q, block_k, interpret, res, g):
     q, k, v = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: attention_reference(q_, k_, v_, causal, sm_scale), q, k, v)
+    s_q, s_k = q.shape[2], k.shape[2]
+    if s_q * s_k <= 2048 * 2048:
+        # small: dense recompute is cheapest
+        fn = lambda q_, k_, v_: attention_reference(q_, k_, v_, causal, sm_scale)
+    else:
+        # large: memory-bounded blockwise recompute (no (S,S) materialization)
+        fn = lambda q_, k_, v_: _blockwise_attention_xla(q_, k_, v_, causal, sm_scale)
+    _, vjp = jax.vjp(fn, q, k, v)
     return vjp(g)
 
 

@@ -97,3 +97,25 @@ def test_flash_bf16(rng):
     np.testing.assert_allclose(
         np.asarray(got, dtype=np.float32), np.asarray(want, dtype=np.float32), rtol=5e-2, atol=5e-2
     )
+
+
+def test_blockwise_xla_matches_reference(rng):
+    from lipreading_video_generation_tpu.ops.attention import _blockwise_attention_xla
+
+    q, k, v = _qkv(rng, b=1, h=2, s=300, d=16)
+    got = _blockwise_attention_xla(q, k, v, False, 1.0 / 4.0, block_k=128)
+    want = attention_reference(q, k, v, sm_scale=1.0 / 4.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4)
+
+
+def test_blockwise_xla_gradients_match(rng):
+    from lipreading_video_generation_tpu.ops.attention import _blockwise_attention_xla
+
+    q, k, v = _qkv(rng, b=1, h=1, s=256, d=16)
+    g1 = jax.grad(lambda a, b_, c: jnp.sum(
+        _blockwise_attention_xla(a, b_, c, False, 0.25, block_k=64) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda a, b_, c: jnp.sum(
+        attention_reference(a, b_, c, sm_scale=0.25) ** 2), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-3, atol=2e-3)
