@@ -46,18 +46,47 @@ def _local_block_update(q, k_blk, v_blk, acc, m, l, sm_scale):
     return acc_new, m_new, l_new
 
 
-def _ring_inner(q, k, v, *, axis_name, num_devices, sm_scale):
-    """Runs per device under shard_map: q/k/v are local sequence shards."""
+def _ring_inner(q, k, v, *, axis_name, num_devices, sm_scale, causal):
+    """Runs per device under shard_map: q/k/v are local sequence shards.
+
+    Causal masking uses global positions: at ring step t this device holds
+    the K/V shard originally owned by device (my_idx − t) mod N, so key j of
+    the visiting block sits at global position src·S_local + j.
+    """
     qf = q.astype(jnp.float32)
     b, h, sq, d = qf.shape
+    sk_local = k.shape[2]
+    my_idx = jax.lax.axis_index(axis_name)
     acc = jnp.zeros((b, h, sq, d), jnp.float32)
     m = jnp.full((b, h, sq, 1), _NEG_INF, jnp.float32)
     l = jnp.zeros((b, h, sq, 1), jnp.float32)
     perm = [(j, (j + 1) % num_devices) for j in range(num_devices)]
+    q_pos = my_idx * sq + jax.lax.broadcasted_iota(jnp.int32, (sq, 1), 0)
 
     def body(i, carry):
         k_cur, v_cur, acc, m, l = carry
-        acc, m, l = _local_block_update(qf, k_cur.astype(jnp.float32), v_cur, acc, m, l, sm_scale)
+        if causal:
+            src = jnp.mod(my_idx - i, num_devices)
+            k_pos = src * sk_local + jax.lax.broadcasted_iota(jnp.int32, (1, sk_local), 1)
+            bias = jnp.where(k_pos <= q_pos, 0.0, _NEG_INF)[None, None]
+        else:
+            bias = None
+        kf = k_cur.astype(jnp.float32)
+        if bias is not None:
+            # fold the mask in via the score path: recompute update with bias
+            s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf,
+                           preferred_element_type=jnp.float32) * sm_scale + bias
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m, m_cur)
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc_new = acc * alpha[..., 0][..., None] + jnp.einsum(
+                "bhqk,bhkd->bhqd", p, v_cur.astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+            acc, m, l = acc_new, m_new, l_new
+        else:
+            acc, m, l = _local_block_update(qf, kf, v_cur, acc, m, l, sm_scale)
         # rotate K/V to the next device; on the final iteration the permute
         # result is unused but keeps the loop shape uniform
         k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
@@ -75,6 +104,7 @@ def ring_attention(
     mesh: Mesh,
     axis_name: str = "data",
     sm_scale: Optional[float] = None,
+    causal: bool = False,
 ) -> jax.Array:
     """Exact attention over (B, H, S, D) with S sharded on ``axis_name``.
 
@@ -90,7 +120,8 @@ def ring_attention(
     spec = P(None, None, axis_name, None)
     fn = shard_map(
         functools.partial(
-            _ring_inner, axis_name=axis_name, num_devices=n, sm_scale=sm_scale
+            _ring_inner, axis_name=axis_name, num_devices=n, sm_scale=sm_scale,
+            causal=causal
         ),
         mesh=mesh,
         in_specs=(spec, spec, spec),

@@ -48,3 +48,11 @@ def test_ring_rejects_indivisible_seq(rng):
     q, k, v = _qkv(rng, s=100)
     with pytest.raises(ValueError):
         ring_attention(q, k, v, spec.mesh, axis_name="data")
+
+
+def test_ring_causal_matches_dense(rng):
+    spec = pmesh.build_mesh(MeshConfig())
+    q, k, v = _qkv(rng, s=256)
+    got = ring_attention(q, k, v, spec.mesh, axis_name="data", causal=True)
+    want = attention_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
