@@ -93,7 +93,10 @@ def main(argv: List[str] | None = None) -> int:
     p.add_argument("--static", action="store_true")
 
     args = parser.parse_args(argv)
-    cfg = build_config(args)
+    try:
+        cfg = build_config(args)
+    except ValueError as e:
+        parser.error(str(e))
 
     if args.cmd == "preprocess-gan":
         import jax

@@ -233,11 +233,14 @@ def parse_overrides(cfg: Config, overrides: Sequence[str]) -> Config:
         path, value = item.split("=", 1)
         keys = path.split(".")
         # walk down, collecting objects so we can rebuild immutably
-        objs = [cfg]
-        for k in keys[:-1]:
-            objs.append(getattr(objs[-1], k))
-        leaf_owner = objs[-1]
-        current = getattr(leaf_owner, keys[-1])
+        try:
+            objs = [cfg]
+            for k in keys[:-1]:
+                objs.append(getattr(objs[-1], k))
+            leaf_owner = objs[-1]
+            current = getattr(leaf_owner, keys[-1])
+        except AttributeError:
+            raise ValueError(f"unknown config key {path!r}") from None
         new_leaf = _coerce(value, current)
         rebuilt = dataclasses.replace(leaf_owner, **{keys[-1]: new_leaf})
         for obj, k in zip(reversed(objs[:-1]), reversed(keys[:-1])):

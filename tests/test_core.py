@@ -39,7 +39,7 @@ def test_parse_overrides():
 
 
 def test_parse_overrides_bad_key():
-    with pytest.raises(AttributeError):
+    with pytest.raises(ValueError, match="unknown config key"):
         config.parse_overrides(config.Config(), ["gan.nope=1"])
     with pytest.raises(ValueError):
         config.parse_overrides(config.Config(), ["no_equals"])
