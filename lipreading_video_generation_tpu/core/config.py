@@ -56,6 +56,9 @@ class MeshConfig:
     # -1 means "all remaining devices"
     data_parallel: int = -1
     model_parallel: int = 1
+    # Parameters with >= this many elements (and a model-axis-divisible
+    # output dim) are tensor-parallel sharded when model_parallel > 1.
+    model_shard_threshold: int = 2**22
 
 
 @dataclass(frozen=True)

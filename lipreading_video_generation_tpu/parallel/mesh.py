@@ -34,6 +34,8 @@ class MeshSpec:
     mesh: Mesh
     data_axis: str
     model_axis: str
+    # tensor-parallel policy knob (from MeshConfig.model_shard_threshold)
+    model_shard_threshold: int = 2**22
 
     @property
     def data_size(self) -> int:
@@ -64,7 +66,12 @@ def build_mesh(
         raise ValueError(f"data_parallel*model_parallel = {dp * mp} != {n} devices")
     arr = np.asarray(devices).reshape(dp, mp)
     mesh = Mesh(arr, (cfg.data_axis, cfg.model_axis))
-    return MeshSpec(mesh=mesh, data_axis=cfg.data_axis, model_axis=cfg.model_axis)
+    return MeshSpec(
+        mesh=mesh,
+        data_axis=cfg.data_axis,
+        model_axis=cfg.model_axis,
+        model_shard_threshold=cfg.model_shard_threshold,
+    )
 
 
 def batch_sharding(spec: MeshSpec, ndim: int = 1) -> NamedSharding:
@@ -92,14 +99,18 @@ def shard_batch(spec: MeshSpec, batch):
     return jax.tree_util.tree_map(_put, batch)
 
 
-def param_partition_spec(path_leaf, spec: MeshSpec, model_shard_threshold: int = 2**22):
+def param_partition_spec(path_leaf, spec: MeshSpec, model_shard_threshold: Optional[int] = None):
     """Default parameter layout: replicate everything (pure DP).
 
     With a >1 model axis, large 2-D kernels are sharded on their output
     dimension over the model axis — the simple tensor-parallel layout for
-    the MLP/attention projection matrices in this repo's models.
+    the MLP/attention projection matrices in this repo's models. The size
+    cutoff comes from ``MeshConfig.model_shard_threshold`` (carried on the
+    spec) unless overridden here.
     """
     leaf = path_leaf
+    if model_shard_threshold is None:
+        model_shard_threshold = spec.model_shard_threshold
     if (
         spec.model_size > 1
         and hasattr(leaf, "ndim")
