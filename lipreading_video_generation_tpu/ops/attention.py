@@ -62,7 +62,7 @@ def attention_reference(
 
 def _flash_kernel(
     q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
-    *, sm_scale, block_q, block_k, kv_len, causal,
+    *, sm_scale, block_q, block_k, q_len, kv_len, causal,
 ):
     """Grid (batch·head, q-blocks, kv-blocks); the kv axis is sequential,
     with the online-softmax state carried in VMEM scratch across kv steps.
@@ -87,8 +87,10 @@ def _flash_kernel(
     k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[-1]), 1)
     mask = k_pos < kv_len
     if causal:
+        # bottom-right alignment for s_q != s_k, matching
+        # attention_reference's tril(k = s_k − s_q)
         q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1), 0)
-        mask = mask & (k_pos <= q_pos)
+        mask = mask & (k_pos <= q_pos + (kv_len - q_len))
     s = jnp.where(mask, s, _NEG_INF)
 
     m_prev = m_ref[:]
@@ -143,6 +145,7 @@ def _flash_forward(
         sm_scale=sm_scale,
         block_q=block_q,
         block_k=block_k,
+        q_len=s_q,
         kv_len=s_k,
         causal=causal,
     )
@@ -218,7 +221,8 @@ def _blockwise_attention_xla(
         k_pos = blk_idx * bk + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
         mask = k_pos < s_k
         if causal:
-            mask = mask & (k_pos <= q_pos)
+            # bottom-right alignment, matching attention_reference
+            mask = mask & (k_pos <= q_pos + (s_k - s_q))
         s = jnp.where(mask, s, _NEG_INF)
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m, m_cur)

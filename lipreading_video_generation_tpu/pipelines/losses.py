@@ -45,11 +45,14 @@ def accuracy(logits: jax.Array, labels: jax.Array) -> jax.Array:
 
 
 def cosine_bce_sync_loss(audio_emb: jax.Array, face_emb: jax.Array) -> jax.Array:
-    """BCE(cos-sim, 1) over L2-normalized (B, 512) embeddings
-    (train_lipreading.py:70-76 cosine_loss with y=ones)."""
+    """BCE(cos-sim, 1) = -log(sim) over L2-normalized (B, 512) embeddings —
+    exactly the reference numerics (train_lipreading.py:70-76 cosine_loss
+    with y=ones over raw cosine similarity). SyncNet embeddings are
+    post-ReLU so sim ∈ [0, 1] there; the clip only guards numerics. The
+    0.75 eval gate threshold (params.py:78) is calibrated to THIS scale."""
     sim = jnp.sum(audio_emb * face_emb, axis=-1)  # embeddings are unit-norm
-    sim01 = jnp.clip((sim + 1.0) * 0.5, EPS, 1.0 - EPS)  # map [-1,1]→(0,1)
-    return -jnp.mean(jnp.log(sim01))
+    sim = jnp.clip(sim, EPS, 1.0 - EPS)
+    return -jnp.mean(jnp.log(sim))
 
 
 def syncnet_contrastive_loss(
@@ -57,10 +60,10 @@ def syncnet_contrastive_loss(
 ) -> jax.Array:
     """BCE(cos-sim, y) for SyncNet pretraining with positive/negative pairs
     (the Wav2Lip syncnet objective the reference's expert was trained
-    with; y ∈ {0,1} per pair)."""
+    with; y ∈ {0,1} per pair). Raw cosine similarity, reference scale."""
     sim = jnp.sum(audio_emb * face_emb, axis=-1)
-    sim01 = jnp.clip((sim + 1.0) * 0.5, EPS, 1.0 - EPS)
-    return -jnp.mean(y * jnp.log(sim01) + (1.0 - y) * jnp.log(1.0 - sim01))
+    sim = jnp.clip(sim, EPS, 1.0 - EPS)
+    return -jnp.mean(y * jnp.log(sim) + (1.0 - y) * jnp.log(1.0 - sim))
 
 
 def perceptual_adversarial_loss(fake_pred: jax.Array) -> jax.Array:

@@ -106,7 +106,8 @@ def prepare_batch(
          start_frame (B,), wav (B, samples)
     out: x (B,T,96,96,6) masked-target ⊕ reference, gt (B,T,96,96,3) in
          [0,1], mel (B,80,16,1) window at start_frame, indiv_mels
-         (B,T,80,16,1) per-frame windows offset −2 (dataset.py:81-94).
+         (B,T,80,16,1) per-frame windows offset −1 (get_segmented_mels'
+         effective offset: +1 for 1-indexing then −2, dataset.py:81-94).
     """
     t = cfg.syncnet_T
     win = image_ops.resize(batch["window"], (cfg.img_size, cfg.img_size))
@@ -123,8 +124,10 @@ def prepare_batch(
         m = audio_ops.crop_mel_window(
             mel, s, cfg.fps, cfg.syncnet_mel_step_size, audio_cfg.sample_rate, audio_cfg.hop_size
         )
-        # per-frame sub-windows offset −2 frames (get_segmented_mels, dataset.py:81-94)
-        frame_ids = s + jnp.arange(t, dtype=jnp.float32) - 2.0
+        # per-frame sub-windows: get_segmented_mels (dataset.py:81-94) uses
+        # start_frame_num = frame_id + 1 then crops at i − 2, so the window
+        # for target frame s+i starts at video frame s+i−1.
+        frame_ids = s + jnp.arange(t, dtype=jnp.float32) - 1.0
         frame_ids = jnp.maximum(frame_ids, 0.0)
         indiv = audio_ops.mel_windows(
             mel, frame_ids, cfg.fps, cfg.syncnet_mel_step_size,

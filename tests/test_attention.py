@@ -119,3 +119,21 @@ def test_blockwise_xla_gradients_match(rng):
         attention_reference(a, b_, c, sm_scale=0.25) ** 2), argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-3, atol=2e-3)
+
+
+def test_causal_cross_length_bottom_right_alignment(rng):
+    """causal with s_q != s_k must bottom-right align (tril k = s_k − s_q)
+    in ALL paths: Pallas kernel, blockwise-XLA recompute, and reference."""
+    from lipreading_video_generation_tpu.ops.attention import _blockwise_attention_xla
+
+    q = jnp.asarray(rng.standard_normal((1, 2, 160, 32)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 2, 320, 32)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 2, 320, 32)).astype(np.float32))
+    want = attention_reference(q, k, v, causal=True)
+    got_kernel = flash_attention(q, k, v, causal=True, block_q=64, block_k=64,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got_kernel), np.asarray(want),
+                               rtol=5e-4, atol=5e-4)
+    got_blockwise = _blockwise_attention_xla(q, k, v, True, 32 ** -0.5, block_k=64)
+    np.testing.assert_allclose(np.asarray(got_blockwise), np.asarray(want),
+                               rtol=5e-4, atol=5e-4)

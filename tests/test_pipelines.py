@@ -56,6 +56,27 @@ def test_cosine_sync_loss_perfect_alignment():
     assert float(losses.cosine_bce_sync_loss(e, -e)) > 5.0
 
 
+def test_cosine_sync_loss_matches_torch_bce():
+    """Pin the loss numerics against the reference's exact torch formula
+    BCELoss()(cosine_similarity(a, v), ones) — train_lipreading.py:70-89.
+    Post-ReLU embeddings ⇒ sim ∈ [0, 1] ⇒ BCE(sim, 1) = −log(sim)."""
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(7)
+    a = np.abs(rng.normal(size=(6, 16))).astype(np.float32)  # post-ReLU-like
+    v = np.abs(rng.normal(size=(6, 16))).astype(np.float32)
+    a /= np.linalg.norm(a, axis=-1, keepdims=True)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    d = torch.nn.functional.cosine_similarity(torch.tensor(a), torch.tensor(v))
+    want = torch.nn.BCELoss()(d.unsqueeze(1), torch.ones(6, 1)).item()
+    got = float(losses.cosine_bce_sync_loss(jnp.asarray(a), jnp.asarray(v)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # contrastive variant against BCE with mixed labels
+    y = np.asarray([1, 0, 1, 0, 1, 0], np.float32)
+    want_c = torch.nn.BCELoss()(d, torch.tensor(y)).item()
+    got_c = float(losses.syncnet_contrastive_loss(jnp.asarray(a), jnp.asarray(v), jnp.asarray(y)))
+    np.testing.assert_allclose(got_c, want_c, rtol=1e-5)
+
+
 def test_psnr_identical_images():
     a = jnp.ones((2, 4, 4, 3)) * 0.5
     assert float(losses.psnr(a, a)) > 100
@@ -118,8 +139,9 @@ def test_gan_prepare_batch_shapes():
 
 
 def test_gan_indiv_mels_offset_semantics():
-    """indiv_mels[i] must be the mel window at frame start+i−2 (clamped),
-    start_idx = int(80·frame/fps) — get_segmented_mels, dataset.py:81-94."""
+    """indiv_mels[i] must be the mel window at frame start+i−1 (clamped):
+    get_segmented_mels (dataset.py:81-94) 1-indexes (frame_id+1) then crops
+    at i−2, so the effective offset is −1; start_idx = int(80·frame/fps)."""
     batch = {k: jnp.asarray(v) for k, v in _gan_batch().items()}
     prep = train_gan.prepare_batch(batch, TINY_GAN, AudioConfig())
     mel_full = np.asarray(
@@ -129,7 +151,7 @@ def test_gan_indiv_mels_offset_semantics():
     start = int(np.asarray(batch["start_frame"])[0])
     t_mel = mel_full.shape[-1]
     for i in range(TINY_GAN.syncnet_T):
-        frame = max(0, start + i - 2)
+        frame = max(0, start + i - 1)
         s = int(80.0 * frame / 25.0)
         s = min(max(s, 0), t_mel - 16)
         want = mel_full[0][:, s : s + 16]
