@@ -132,6 +132,14 @@ def shard_params(spec: MeshSpec, params):
     return jax.tree_util.tree_map(_put, params)
 
 
+def replicate_state(spec: MeshSpec, tree):
+    """Replicate every array leaf of a train-state pytree over the mesh —
+    the standard DP layout (params/opt/EMA live on every chip; psum'd grads
+    keep them in sync)."""
+    sharding = replicated(spec)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
 def per_device_batch(global_batch: int, spec: MeshSpec) -> int:
     if global_batch % spec.data_size != 0:
         raise ValueError(

@@ -116,6 +116,28 @@ def train_step(
     return new_state, {"loss": loss, "t_mean": t.astype(jnp.float32).mean()}
 
 
+def checkpoint_tree(state: DiffusionTrainState) -> Dict[str, Any]:
+    """Everything resume needs: params, EMA shadow, Adam moments, step —
+    the reference's save_checkpoint carries model + optimizer + counters
+    (gan-model/train_lipreading.py:264-273); the diffusion driver's bare
+    state_dict (train.py:137) is upgraded to the same fidelity."""
+    return {
+        "params": state.params,
+        "ema_params": state.ema_params,
+        "opt_state": state.opt_state,
+        "step": int(state.step),
+    }
+
+
+def restore_state(state: DiffusionTrainState, restored: Dict[str, Any]) -> DiffusionTrainState:
+    return state.replace(
+        params=restored["params"],
+        ema_params=restored["ema_params"],
+        opt_state=restored["opt_state"],
+        step=jnp.asarray(int(restored["step"]), jnp.int32),
+    )
+
+
 def train(
     cfg: DiffusionConfig,
     batch_fn,
@@ -124,29 +146,37 @@ def train(
     checkpoint_dir=None,
     metrics_writer=None,
     checkpoint_every: int = 500,
+    mesh_spec=None,
 ) -> DiffusionTrainState:
     """Step-driven loop (train.py:107-137 shape, step- not epoch-indexed):
-    q-sample + ε-MSE per step; periodic Orbax checkpoints replacing the
+    q-sample + ε-MSE per step on the data-parallel mesh, batches prefetched
+    to device while the previous step runs; periodic Orbax checkpoints of
+    the FULL train state (params + EMA + optimizer + step) replacing the
     reference's bare per-epoch state_dict overwrite (train.py:137)."""
     from ..core import prng
     from ..core.checkpoint import CheckpointManager
+    from ..core.config import MeshConfig
+    from ..data.loader import prefetch_to_device
+    from ..parallel.mesh import build_mesh, replicate_state
 
+    spec = mesh_spec or build_mesh(MeshConfig())
     key = prng.make_root_key(seed)
     state = create_state(cfg, key)
     mgr = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
     start_step = 0
     if mgr is not None and mgr.latest_step() is not None:
-        restored = mgr.restore({"params": state.params})
+        restored = mgr.restore(checkpoint_tree(state))
         start_step = int(mgr.latest_step())
-        state = state.replace(params=restored["params"],
-                              step=jnp.asarray(start_step, jnp.int32))
-    for step in range(start_step, num_steps):
-        batch = {k: jnp.asarray(v) for k, v in batch_fn().items()}
-        state, metrics = train_step(state, batch, key, cfg)
-        if metrics_writer is not None:
-            metrics_writer.write(step, metrics)
-        if mgr is not None and (step + 1) % checkpoint_every == 0:
-            mgr.save(step + 1, {"params": state.params})
+        state = restore_state(state, restored)
+    with spec.mesh:
+        state = replicate_state(spec, state)
+        feed = prefetch_to_device(batch_fn, spec, num_batches=num_steps - start_step)
+        for step, batch in zip(range(start_step, num_steps), feed):
+            state, metrics = train_step(state, batch, key, cfg)
+            if metrics_writer is not None:
+                metrics_writer.write(step, metrics)
+            if mgr is not None and (step + 1) % checkpoint_every == 0:
+                mgr.save(step + 1, checkpoint_tree(state))
     if mgr is not None:
         mgr.wait()
     return state

@@ -250,6 +250,31 @@ def maybe_open_sync_gate(state: GanTrainState, eval_sync_loss: float, cfg: GanCo
     return state
 
 
+def checkpoint_tree(state: GanTrainState) -> Dict[str, Any]:
+    """Full-fidelity checkpoint payload: G/D params, BOTH Adam states, the
+    syncnet_wt gate, and the step counter (save_checkpoint semantics,
+    train_lipreading.py:264-273 + the disc_ checkpoint at :181-184)."""
+    return {
+        "gen": state.gen_params,
+        "disc": state.disc_params,
+        "gen_opt": state.gen_opt,
+        "disc_opt": state.disc_opt,
+        "syncnet_wt": float(state.syncnet_wt),
+        "step": int(state.step),
+    }
+
+
+def restore_state(state: GanTrainState, restored: Dict[str, Any]) -> GanTrainState:
+    return state.replace(
+        gen_params=restored["gen"],
+        disc_params=restored["disc"],
+        gen_opt=restored["gen_opt"],
+        disc_opt=restored["disc_opt"],
+        syncnet_wt=jnp.asarray(restored["syncnet_wt"], jnp.float32),
+        step=jnp.asarray(int(restored["step"]), jnp.int32),
+    )
+
+
 def train(
     cfg: GanConfig,
     batch_fn,
@@ -261,6 +286,7 @@ def train(
     metrics_writer=None,
     syncnet_params=None,
     sample_dir: Optional[str] = None,
+    mesh_spec=None,
 ) -> GanTrainState:
     """Step-driven training loop (train_lipreading.py:91-199 shape):
     G+D step each iteration; every ``eval_interval`` steps run eval and
@@ -269,55 +295,54 @@ def train(
     (save_sample_images, train_lipreading.py:57-68)."""
     from ..core import prng
     from ..core.checkpoint import CheckpointManager
+    from ..core.config import MeshConfig
+    from ..data.loader import prefetch_to_device
+    from ..parallel.mesh import build_mesh, replicate_state, shard_batch
 
+    spec = mesh_spec or build_mesh(MeshConfig())
     key = prng.make_root_key(seed)
     state = create_state(cfg, key, syncnet_params=syncnet_params)
     mgr = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
     start_step = 0
     if mgr is not None and mgr.latest_step() is not None:
-        # resume: restore params + gate, like load_checkpoint's optimizer/
-        # global-step restore (train_lipreading.py:285-305)
-        restored = mgr.restore({
-            "gen": state.gen_params, "disc": state.disc_params,
-            "syncnet_wt": float(state.syncnet_wt),
-        })
+        # full-fidelity resume: params + BOTH Adam states + gate + step,
+        # like load_checkpoint's optimizer/global-step restore
+        # (train_lipreading.py:285-305)
+        restored = mgr.restore(checkpoint_tree(state))
         start_step = int(mgr.latest_step())
-        state = state.replace(
-            gen_params=restored["gen"], disc_params=restored["disc"],
-            syncnet_wt=jnp.asarray(restored["syncnet_wt"], jnp.float32),
-            step=jnp.asarray(start_step, jnp.int32),
-        )
-    for step in range(start_step, num_steps):
-        batch = {k: jnp.asarray(v) for k, v in batch_fn().items()}
-        state, metrics = gan_train_step(state, batch, key, cfg, audio_cfg)
-        if metrics_writer is not None:
-            metrics_writer.write(step, metrics)
-        if eval_batch_fn is not None and (step + 1) % cfg.eval_interval == 0:
-            eb = {k: jnp.asarray(v) for k, v in eval_batch_fn().items()}
-            em = gan_eval_step(state, eb, cfg, audio_cfg)
-            state = maybe_open_sync_gate(state, float(em["eval/sync_loss"]), cfg)
+        state = restore_state(state, restored)
+    with spec.mesh:
+        state = replicate_state(spec, state)
+        feed = prefetch_to_device(batch_fn, spec, num_batches=num_steps - start_step)
+        for step, batch in zip(range(start_step, num_steps), feed):
+            state, metrics = gan_train_step(state, batch, key, cfg, audio_cfg)
             if metrics_writer is not None:
-                metrics_writer.write(step, em)
-        if mgr is not None and (step + 1) % cfg.checkpoint_interval == 0:
-            mgr.save(step + 1, {"gen": state.gen_params, "disc": state.disc_params,
-                                "syncnet_wt": float(state.syncnet_wt)})
-        if sample_dir is not None and (step + 1) % cfg.checkpoint_interval == 0:
-            import os
+                metrics_writer.write(step, metrics)
+            if eval_batch_fn is not None and (step + 1) % cfg.eval_interval == 0:
+                eb = shard_batch(spec, eval_batch_fn())
+                em = gan_eval_step(state, eb, cfg, audio_cfg)
+                state = maybe_open_sync_gate(state, float(em["eval/sync_loss"]), cfg)
+                if metrics_writer is not None:
+                    metrics_writer.write(step, em)
+            if mgr is not None and (step + 1) % cfg.checkpoint_interval == 0:
+                mgr.save(step + 1, checkpoint_tree(state))
+            if sample_dir is not None and (step + 1) % cfg.checkpoint_interval == 0:
+                import os
 
-            import numpy as np
+                import numpy as np
 
-            os.makedirs(sample_dir, exist_ok=True)
-            g = generate_step(state, batch, cfg, audio_cfg)
-            collage = np.asarray(
-                (jnp.concatenate(list(g[0]), axis=1) * 255).astype(jnp.uint8)
-            )
-            try:
-                import cv2
+                os.makedirs(sample_dir, exist_ok=True)
+                g = generate_step(state, batch, cfg, audio_cfg)
+                collage = np.asarray(
+                    (jnp.concatenate(list(g[0]), axis=1) * 255).astype(jnp.uint8)
+                )
+                try:
+                    import cv2
 
-                cv2.imwrite(os.path.join(sample_dir, f"step{step+1}.jpg"),
-                            collage[:, :, ::-1])
-            except Exception:
-                pass
+                    cv2.imwrite(os.path.join(sample_dir, f"step{step+1}.jpg"),
+                                collage[:, :, ::-1])
+                except Exception:
+                    pass
     if mgr is not None:
         mgr.wait()
     return state

@@ -127,6 +127,9 @@ def train(
 
     ``train_batches_fn()`` → iterable of {"clips","labels"} numpy batches.
     """
+    from ..data.loader import iterator_feed, prefetch_to_device
+    from ..parallel.mesh import replicate_state
+
     spec = mesh_spec or build_mesh(cfg.mesh)
     key = prng.make_root_key(cfg.seed)
     state = create_state(cfg.vivit, key)
@@ -134,9 +137,11 @@ def train(
     best_params = state.params
     epochs = num_epochs if num_epochs is not None else cfg.vivit.num_epochs
     with spec.mesh:
+        state = replicate_state(spec, state)
         for epoch in range(epochs):
-            for batch in train_batches_fn():
-                batch = shard_batch(spec, batch)
+            # host decode + device transfer overlap the previous step
+            feed = prefetch_to_device(iterator_feed(iter(train_batches_fn())), spec)
+            for batch in feed:
                 state, metrics = train_step(state, batch, key)
                 if metrics_writer is not None:
                     metrics_writer.write(int(state.step), metrics)
