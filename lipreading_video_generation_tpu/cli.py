@@ -75,6 +75,7 @@ def main(argv: List[str] | None = None) -> int:
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--frame-index", default=None)
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=500)
     p.add_argument("--synthetic", action="store_true")
 
     p = _base_parser(sub, "lipread-e2e", "LRS2 → word clips → ViViT train → sentence eval")
@@ -83,14 +84,33 @@ def main(argv: List[str] | None = None) -> int:
     p.add_argument("--max-clips", type=int, default=None)
 
     p = _base_parser(sub, "sample-diffusion", "reverse-diffusion sampling")
-    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--checkpoint", default=None,
+                   help="train-diffusion checkpoint dir (latest step) or save_once path")
+    p.add_argument("--no-ema", action="store_true",
+                   help="sample with raw params instead of the EMA shadow")
+    p.add_argument("--cond-video", default=None,
+                   help="video to take the condition frame + audio from "
+                        "(reference test.py:131-148 picks a dataset item)")
+    p.add_argument("--cond-audio", default=None,
+                   help="wav for conditioning (defaults to the video's audio)")
     p.add_argument("--out", required=True)
 
     p = _base_parser(sub, "infer-lipsync", "lip-sync a video to an audio track")
     p.add_argument("--face", required=True)
     p.add_argument("--audio", required=True)
     p.add_argument("--out", required=True)
+    p.add_argument("--checkpoint", default=None,
+                   help="train-gan checkpoint dir (latest step) or save_once path "
+                        "(reference inference.py:13-22 --checkpoint_path)")
     p.add_argument("--static", action="store_true")
+    p.add_argument("--pads", type=int, nargs=4, default=[0, 10, 0, 0],
+                   metavar=("PADY1", "PADY2", "PADX1", "PADX2"),
+                   help="face-box padding (reference default 0 10 0 0)")
+    p.add_argument("--resize-factor", type=int, default=1)
+    p.add_argument("--crop", type=int, nargs=4, default=[0, -1, 0, -1],
+                   metavar=("Y1", "Y2", "X1", "X2"))
+    p.add_argument("--rotate", action="store_true")
+    p.add_argument("--nosmooth", action="store_true")
 
     args = parser.parse_args(argv)
     try:
@@ -210,6 +230,7 @@ def main(argv: List[str] | None = None) -> int:
         train_diffusion.train(
             cfg.diffusion, batch_fn, num_steps=args.steps, seed=cfg.seed,
             checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=args.checkpoint_every,
             metrics_writer=Metrics(ConsoleWriter(every=10)),
         )
         return 0
@@ -228,17 +249,31 @@ def main(argv: List[str] | None = None) -> int:
         import jax
         import jax.numpy as jnp
 
-        from .core.checkpoint import load_once
         from .pipelines import sample_diffusion, train_diffusion
 
         d = cfg.diffusion
         state = train_diffusion.create_state(d, jax.random.key(cfg.seed))
         if args.checkpoint:
-            restored = load_once(args.checkpoint, {"params": state.params})
-            state = state.replace(params=restored["params"])
-        rng = np.random.default_rng(cfg.seed)
-        cond = jnp.asarray(rng.integers(0, 256, (1, d.im_size, d.im_size, 3), dtype=np.uint8))
-        audio = jnp.asarray(rng.standard_normal((1, d.audio_samples)).astype(np.float32))
+            params = train_diffusion.load_sampling_params(
+                args.checkpoint, d, jax.random.key(cfg.seed), use_ema=not args.no_ema
+            )
+            state = state.replace(params=params)
+        if args.cond_video:
+            # condition on a real clip: first frame + the audio window just
+            # before it (dataset.py:28-41 buffer_frames semantics; test.py
+            # :131-148 picks a dataset item the same way)
+            from .data import video as video_io
+            from .data.datasets import condition_from_video
+
+            cond_np, audio_np = condition_from_video(
+                args.cond_video, d, audio_path=args.cond_audio
+            )
+            cond = jnp.asarray(cond_np[None])
+            audio = jnp.asarray(audio_np[None])
+        else:
+            rng = np.random.default_rng(cfg.seed)
+            cond = jnp.asarray(rng.integers(0, 256, (1, d.im_size, d.im_size, 3), dtype=np.uint8))
+            audio = jnp.asarray(rng.standard_normal((1, d.audio_samples)).astype(np.float32))
         x0, snaps = sample_diffusion.sample(state, cond, audio, jax.random.key(cfg.seed), d)
         import cv2
 
@@ -254,18 +289,28 @@ def main(argv: List[str] | None = None) -> int:
         from .models.s3fd import S3FD
         from .pipelines.inference import lipsync_video
 
-        gen = TalkingFaceGenerator(width=cfg.gan.model_width)
         import jax.numpy as jnp
 
-        gen_params = gen.init(
-            jax.random.key(cfg.seed),
-            jnp.zeros((1, 80, 16, 1)), jnp.zeros((1, 96, 96, 6)),
-        )["params"]
+        if args.checkpoint:
+            from .pipelines import train_gan
+
+            gen_params = train_gan.load_generator_params(
+                args.checkpoint, cfg.gan, jax.random.key(cfg.seed)
+            )
+        else:
+            gen = TalkingFaceGenerator(width=cfg.gan.model_width)
+            gen_params = gen.init(
+                jax.random.key(cfg.seed),
+                jnp.zeros((1, 80, 16, 1)), jnp.zeros((1, 96, 96, 6)),
+            )["params"]
         s3fd = S3FD()
         s3fd_params = s3fd.init(jax.random.key(0), np.zeros((1, 128, 128, 3), np.float32))["params"]
         res = lipsync_video(gen_params, s3fd_params, args.face, args.audio, args.out,
                             cfg.gan, cfg.audio, cfg.preprocess, static_frame=args.static,
-                            model_width=cfg.gan.model_width)
+                            model_width=cfg.gan.model_width,
+                            pads=tuple(args.pads), resize_factor=args.resize_factor,
+                            crop=tuple(args.crop), rotate=args.rotate,
+                            nosmooth=args.nosmooth)
         print(f"wrote {args.out} ({len(res.frames)} frames, muxed={res.muxed})")
         return 0
 

@@ -219,6 +219,47 @@ class DiffusionPairSampler:
         return {k: np.stack([r[k] for r in rows]) for k in rows[0]}
 
 
+def condition_from_video(
+    video_path: str,
+    cfg,
+    audio_path: Optional[str] = None,
+    frame_step: int = 6,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(cond_frame uint8, audio float32) conditioning pair from a real clip
+    for the sampling CLI — the analog of the reference picking dataset item
+    5000 (test.py:131-148): condition = the clip's first frame; audio = the
+    ``buffer_frames`` window before the target frame (frame_start +
+    frame_step, extract_video_frames.py:60-76's pair step), padded/truncated
+    to ``audio_samples`` like TalkingFaceFrameDataset (dataset.py:51-66)."""
+    frames, fps = read_video_frames(video_path)
+    cond = frames[0]
+    target_idx = min(frame_step, len(frames) - 1)
+    sr = 16000
+    wav = None
+    if audio_path is not None:
+        wav = load_wav(audio_path, sr)
+    else:
+        sidecar = os.path.splitext(video_path)[0] + ".wav"
+        if os.path.exists(sidecar):
+            wav = load_wav(sidecar, sr)
+        else:
+            from .video import extract_audio
+
+            tmp = video_path + ".cond.wav"
+            if extract_audio(video_path, tmp, sr):
+                wav = load_wav(tmp, sr)
+                os.remove(tmp)
+    if wav is None:
+        raise ValueError(
+            f"no audio for {video_path!r}: pass --cond-audio, add a sidecar "
+            ".wav, or install ffmpeg"
+        )
+    start = int(max(0.0, (target_idx - cfg.buffer_frames) / fps) * sr)
+    sl = wav[start : start + cfg.audio_samples]
+    sl = np.pad(sl, (0, cfg.audio_samples - len(sl)))
+    return cond, sl.astype(np.float32)
+
+
 def load_full_video_sample(
     video_path: str,
     transcript_path: Optional[str] = None,

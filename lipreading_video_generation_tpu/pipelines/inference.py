@@ -39,12 +39,17 @@ def detect_face_tracks(
     s3fd_params,
     frames: np.ndarray,
     cfg: PreprocessConfig = PreprocessConfig(),
+    pads: tuple = (0, 10, 0, 0),
+    nosmooth: bool = False,
 ) -> np.ndarray:
     """Batched S3FD over all frames → smoothed (T, 4) boxes (y1, y2, x1, x2).
 
     face_detect + get_smoothened_boxes (inference.py:61-108). Frames with no
     detection inherit the previous frame's box (the reference hard-errors,
     inference.py:92-94; tracking through dropouts is strictly better).
+    ``pads`` = (pady1, pady2, padx1, padx2), reference default [0, 10, 0, 0]
+    (inference.py:33-34, 89-98) — the bottom pad materially changes the crop
+    the generator sees. ``nosmooth`` skips the T=5 box smoothing (:103).
     """
     model = S3FD()
     t = len(frames)
@@ -81,8 +86,17 @@ def detect_face_tracks(
         boxes[:] = [0, 0, w - 1, h - 1]
     else:
         boxes[:first_valid] = boxes[first_valid]
+    # pads, clipped to the frame (inference.py:89-98)
+    h, w = frames.shape[1:3]
+    pady1, pady2, padx1, padx2 = pads
+    x1 = np.maximum(0, boxes[:, 0] - padx1)
+    y1 = np.maximum(0, boxes[:, 1] - pady1)
+    x2 = np.minimum(w, boxes[:, 2] + padx2)
+    y2 = np.minimum(h, boxes[:, 3] + pady2)
     # x1y1x2y2 → y1 y2 x1 x2 and temporal smoothing (inference.py:61-68)
-    yx = np.stack([boxes[:, 1], boxes[:, 3], boxes[:, 0], boxes[:, 2]], axis=1)
+    yx = np.stack([y1, y2, x1, x2], axis=1).astype(np.float32)
+    if nosmooth:
+        return yx
     return np.asarray(image_ops.smooth_boxes(jnp.asarray(yx), cfg.box_smooth_T))
 
 
@@ -112,6 +126,42 @@ def paste_back(frame: jax.Array, roi: jax.Array, box: jax.Array) -> jax.Array:
     return jnp.where(inside, resized, frame.astype(jnp.float32))
 
 
+def prepare_input_frames(
+    face_path: str,
+    resize_factor: int = 1,
+    rotate: bool = False,
+    crop: tuple = (0, -1, 0, -1),
+    default_fps: float = 25.0,
+) -> tuple:
+    """Read + condition the input frames exactly like the reference's main()
+    (inference.py:186-215): image files become a single static frame at
+    ``default_fps``; video frames are downscaled by ``resize_factor``,
+    optionally rotated 90° clockwise, then cropped by (y1, y2, x1, x2)
+    with −1 meaning "to the edge"."""
+    import cv2
+
+    ext = face_path.rsplit(".", 1)[-1].lower()
+    if ext in ("jpg", "png", "jpeg"):
+        img = cv2.imread(face_path)
+        if img is None:
+            raise FileNotFoundError(f"cannot read image {face_path!r}")
+        frames, fps = img[None, :, :, ::-1], default_fps
+    else:
+        frames, fps = video_io.read_video_frames(face_path)
+    if resize_factor > 1:
+        h, w = frames.shape[1] // resize_factor, frames.shape[2] // resize_factor
+        frames = np.stack([cv2.resize(f, (w, h)) for f in frames])
+    if rotate:
+        frames = np.rot90(frames, k=-1, axes=(1, 2)).copy()
+    y1, y2, x1, x2 = crop
+    if y2 == -1:
+        y2 = frames.shape[1]
+    if x2 == -1:
+        x2 = frames.shape[2]
+    frames = frames[:, y1:y2, x1:x2]
+    return frames, fps
+
+
 def lipsync_video(
     gen_params,
     s3fd_params,
@@ -123,11 +173,26 @@ def lipsync_video(
     pre_cfg: PreprocessConfig = PreprocessConfig(),
     static_frame: bool = False,
     model_width: float = 1.0,
+    pads: tuple = (0, 10, 0, 0),
+    resize_factor: int = 1,
+    crop: tuple = (0, -1, 0, -1),
+    rotate: bool = False,
+    nosmooth: bool = False,
 ) -> InferenceResult:
-    """End-to-end lip-sync (main, inference.py:183-279)."""
-    frames, fps = video_io.read_video_frames(face_video)
-    if static_frame:
-        frames = np.repeat(frames[:1], len(frames), 0)
+    """End-to-end lip-sync (main, inference.py:183-279), with the
+    reference's full knob set (:30-52): pads / resize_factor / crop /
+    rotate / nosmooth / static."""
+    frames, fps = prepare_input_frames(face_video, resize_factor, rotate, crop)
+    if static_frame or len(frames) == 1:
+        frames = np.repeat(frames[:1], max(len(frames), 1), 0)
+    if not audio_path.endswith(".wav"):
+        # ffmpeg wav extraction (inference.py:219-224)
+        tmp_wav = out_path + ".input.wav"
+        if not video_io.extract_audio(audio_path, tmp_wav, audio_cfg.sample_rate):
+            raise ValueError(
+                f"cannot extract audio from {audio_path!r} (no ffmpeg and no sidecar .wav)"
+            )
+        audio_path = tmp_wav
     wav = video_io.load_wav(audio_path, audio_cfg.sample_rate)
     mel = audio_ops.melspectrogram(jnp.asarray(wav), audio_cfg)
     if not np.isfinite(np.asarray(mel)).all():
@@ -140,7 +205,8 @@ def lipsync_video(
     frame_ids = np.arange(num_out) % len(frames)
     frames_seq = frames[frame_ids]
 
-    boxes = detect_face_tracks(s3fd_params, frames_seq, pre_cfg)
+    boxes = detect_face_tracks(s3fd_params, frames_seq, pre_cfg,
+                               pads=pads, nosmooth=nosmooth)
 
     mel_windows = _mel_chunks(mel, num_out, fps, audio_cfg)  # (N, 80, 16)
 

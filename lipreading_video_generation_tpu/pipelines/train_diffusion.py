@@ -138,6 +138,30 @@ def restore_state(state: DiffusionTrainState, restored: Dict[str, Any]) -> Diffu
     )
 
 
+def load_sampling_params(
+    checkpoint_path: str,
+    cfg: DiffusionConfig,
+    key=None,
+    use_ema: bool = True,
+):
+    """Serving-side load for the sampler (reference test.py:86-116
+    load_model_and_scheduler): restore from a train-diffusion checkpoint
+    directory (latest step; EMA params by default — the weights the
+    guided-diffusion recipe samples with) or a one-shot ``{"params": ...}``
+    save path."""
+    import os
+
+    from ..core.checkpoint import CheckpointManager, load_once
+
+    state = create_state(cfg, jax.random.key(0) if key is None else key)
+    if os.path.isdir(checkpoint_path) and any(
+        d.isdigit() for d in os.listdir(checkpoint_path)
+    ):
+        restored = CheckpointManager(checkpoint_path).restore(checkpoint_tree(state))
+        return restored["ema_params" if use_ema else "params"]
+    return load_once(checkpoint_path, {"params": state.params})["params"]
+
+
 def train(
     cfg: DiffusionConfig,
     batch_fn,

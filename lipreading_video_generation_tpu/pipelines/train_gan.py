@@ -275,6 +275,24 @@ def restore_state(state: GanTrainState, restored: Dict[str, Any]) -> GanTrainSta
     )
 
 
+def load_generator_params(checkpoint_path: str, cfg: GanConfig, key: Optional[jax.Array] = None):
+    """Serving-side checkpoint load — the reference's load_model
+    (gan-model/inference.py:162-181): restore trained generator params from
+    a train-gan checkpoint directory (Orbax CheckpointManager layout,
+    latest step) or a one-shot ``save_once`` path of ``{"gen": params}``."""
+    import os
+
+    from ..core.checkpoint import CheckpointManager, load_once
+
+    state = create_state(cfg, jax.random.key(0) if key is None else key)
+    if os.path.isdir(checkpoint_path) and any(
+        d.isdigit() for d in os.listdir(checkpoint_path)
+    ):
+        restored = CheckpointManager(checkpoint_path).restore(checkpoint_tree(state))
+        return restored["gen"]
+    return load_once(checkpoint_path, {"gen": state.gen_params})["gen"]
+
+
 def train(
     cfg: GanConfig,
     batch_fn,

@@ -46,3 +46,104 @@ def test_build_frame_index(tmp_path, capsys):
     out = str(tmp_path / "idx.pkl")
     rc = cli.main(["build-frame-index", "--data-root", str(d), "--out", out])
     assert rc == 0 and os.path.exists(out)
+
+
+def _face_video(tmp_path, frames=8, size=128):
+    import cv2
+
+    path = str(tmp_path / "face.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 25.0, (size, size))
+    for _ in range(frames):
+        img = np.full((size, size, 3), 40, np.uint8)
+        cv2.circle(img, (64, 64), 40, (180, 150, 130), -1)
+        w.write(img)
+    w.release()
+    return path
+
+
+def _speech_wav(tmp_path, seconds=0.4):
+    from lipreading_video_generation_tpu.data.video import save_wav
+
+    path = str(tmp_path / "speech.wav")
+    t = np.linspace(0, seconds, int(16000 * seconds))
+    save_wav(path, np.sin(2 * np.pi * 220 * t).astype(np.float32), 16000)
+    return path
+
+
+GAN_TINY = ["--set", "gan.model_width=0.125", "--set", "gan.dtype=float32",
+            "--set", "gan.batch_size=2"]
+
+
+def test_infer_lipsync_from_trained_checkpoint(tmp_path):
+    """The reference's core serving UX (inference.py:13-22,162-181):
+    train → checkpoint → infer with --checkpoint; output must differ from
+    the random-init output."""
+    import cv2
+
+    ckdir = str(tmp_path / "gan_ck")
+    rc = cli.main(["train-gan", "--steps", "4", "--synthetic",
+                   "--checkpoint-dir", ckdir,
+                   "--set", "gan.checkpoint_interval=4",
+                   "--set", "gan.learning_rate=0.01", *GAN_TINY])
+    assert rc == 0
+    face, audio = _face_video(tmp_path), _speech_wav(tmp_path)
+
+    def frames_of(path):
+        cap = cv2.VideoCapture(path)
+        out = []
+        while True:
+            ok, f = cap.read()
+            if not ok:
+                break
+            out.append(f)
+        cap.release()
+        return np.stack(out)
+
+    out_rand = str(tmp_path / "rand.mp4")
+    rc = cli.main(["infer-lipsync", "--face", face, "--audio", audio,
+                   "--out", out_rand, *GAN_TINY])
+    assert rc == 0
+    out_ck = str(tmp_path / "ck.mp4")
+    rc = cli.main(["infer-lipsync", "--face", face, "--audio", audio,
+                   "--out", out_ck, "--checkpoint", ckdir, *GAN_TINY])
+    assert rc == 0
+    assert os.path.exists(out_ck)
+    assert np.any(frames_of(out_rand) != frames_of(out_ck))
+
+
+DIFF_TINY = [
+    "--set", "diffusion.im_size=16", "--set", "diffusion.base_channels=8",
+    "--set", "diffusion.channel_mult=(1,2)", "--set", "diffusion.num_res_blocks=1",
+    "--set", "diffusion.attention_resolutions=(2,)", "--set", "diffusion.num_heads=2",
+    "--set", "diffusion.time_embed_dim=16", "--set", "diffusion.audio_embed_dim=16",
+    "--set", "diffusion.audio_proj_dim=4", "--set", "diffusion.im_cond_channels=4",
+    "--set", "diffusion.audio_samples=800", "--set", "diffusion.num_timesteps=10",
+    "--set", "diffusion.dtype=float32", "--set", "diffusion.batch_size=2",
+]
+
+
+def test_sample_diffusion_from_checkpoint_and_cond_video(tmp_path):
+    """test.py:86-148 parity: sample with trained weights and a real
+    condition clip (--cond-video/--cond-audio)."""
+    import cv2
+
+    ckdir = str(tmp_path / "diff_ck")
+    rc = cli.main(["train-diffusion", "--steps", "2", "--synthetic",
+                   "--checkpoint-dir", ckdir, "--checkpoint-every", "2",
+                   "--set", "diffusion.learning_rate=0.01", *DIFF_TINY])
+    assert rc == 0
+
+    face = _face_video(tmp_path, frames=10, size=32)
+    wav = _speech_wav(tmp_path, seconds=0.6)
+    out_rand = str(tmp_path / "rand.png")
+    rc = cli.main(["sample-diffusion", "--out", out_rand,
+                   "--cond-video", face, "--cond-audio", wav, *DIFF_TINY])
+    assert rc == 0 and os.path.exists(out_rand)
+    out_ck = str(tmp_path / "ck.png")
+    rc = cli.main(["sample-diffusion", "--out", out_ck, "--checkpoint", ckdir,
+                   "--no-ema", "--cond-video", face, "--cond-audio", wav, *DIFF_TINY])
+    assert rc == 0 and os.path.exists(out_ck)
+    a = cv2.imread(out_rand)
+    b = cv2.imread(out_ck)
+    assert a.shape == (16, 16, 3) and b.shape == (16, 16, 3)
+    assert np.any(a != b)

@@ -83,3 +83,44 @@ def test_lipsync_video_end_to_end(tiny_models, tmp_path):
     ok, frame = cap.read()
     cap.release()
     assert ok and frame.shape == (128, 128, 3)
+
+
+def test_detect_face_tracks_pads_and_nosmooth(tiny_models):
+    """pads (pady1,pady2,padx1,padx2) expand the box like inference.py:89-98
+    (default [0,10,0,0] pads the chin); nosmooth skips T=5 smoothing."""
+    _, s3fd_params = tiny_models
+    frames = np.random.default_rng(0).integers(0, 256, (6, 64, 64, 3), dtype=np.uint8)
+    cfg = PreprocessConfig(face_det_batch_size=4)
+    base = inf.detect_face_tracks(s3fd_params, frames, cfg, pads=(0, 0, 0, 0),
+                                  nosmooth=True)
+    padded = inf.detect_face_tracks(s3fd_params, frames, cfg, pads=(0, 10, 0, 0),
+                                    nosmooth=True)
+    # y2 grows by 10 (clipped at the frame edge), everything else unchanged
+    np.testing.assert_allclose(padded[:, 1], np.minimum(64, base[:, 1] + 10))
+    np.testing.assert_allclose(padded[:, 0], base[:, 0])
+    np.testing.assert_allclose(padded[:, 2:], base[:, 2:])
+
+
+def test_prepare_input_frames_knobs(tmp_path):
+    face = _face_video(tmp_path, frames=4, size=64)
+    # resize_factor halves the resolution (inference.py:205-206)
+    frames, fps = inf.prepare_input_frames(face, resize_factor=2)
+    assert frames.shape[1:3] == (32, 32)
+    # crop is (y1, y2, x1, x2) with -1 = to-the-edge (inference.py:210-214)
+    frames, _ = inf.prepare_input_frames(face, crop=(8, 40, 4, -1))
+    assert frames.shape[1:3] == (32, 60)
+    # rotate: 90 deg clockwise
+    base, _ = inf.prepare_input_frames(face)
+    rot, _ = inf.prepare_input_frames(face, rotate=True)
+    np.testing.assert_array_equal(rot[0], np.rot90(base[0], k=-1))
+
+
+def test_prepare_input_frames_image(tmp_path):
+    """jpg/png input → one static frame at the default fps (inference.py:
+    187-189)."""
+    img_path = str(tmp_path / "face.png")
+    img = np.random.default_rng(0).integers(0, 256, (48, 48, 3), dtype=np.uint8)
+    cv2.imwrite(img_path, img[:, :, ::-1])
+    frames, fps = inf.prepare_input_frames(img_path)
+    assert frames.shape == (1, 48, 48, 3) and fps == 25.0
+    np.testing.assert_array_equal(frames[0], img)
