@@ -71,6 +71,13 @@ def main(argv: List[str] | None = None) -> int:
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--synthetic", action="store_true")
 
+    p = _base_parser(sub, "train-lip-expert",
+                     "pretrain the text-conditioned lipreading expert (char seq2seq)")
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--preprocessed-root", default=None)
+    p.add_argument("--out", default=None, help="save trained expert params here")
+
     p = _base_parser(sub, "train-diffusion", "train the conditional DDPM")
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--frame-index", default=None)
@@ -162,12 +169,13 @@ def main(argv: List[str] | None = None) -> int:
         print(f"best: {best}")
         return 0
 
-    if args.cmd in ("train-gan", "train-syncnet"):
+    if args.cmd in ("train-gan", "train-syncnet", "train-lip-expert"):
         from .core.metrics import ConsoleWriter, Metrics
         from .data.datasets import GanWindowSampler, load_gan_clip, synthetic_gan_clips
 
+        want_text = args.cmd == "train-lip-expert" or cfg.gan.lip_weight > 0
         if args.synthetic or not getattr(args, "preprocessed_root", None):
-            clips = synthetic_gan_clips(n_clips=8, frames=30)
+            clips = synthetic_gan_clips(n_clips=8, frames=30, with_text=want_text)
         else:
             import os
 
@@ -175,8 +183,32 @@ def main(argv: List[str] | None = None) -> int:
             for root, dirs, files in os.walk(args.preprocessed_root):
                 if "audio.wav" in files:
                     clips.append(load_gan_clip(root))
-        sampler = GanWindowSampler(clips, cfg.gan.syncnet_T, seed=cfg.seed)
+        sampler = GanWindowSampler(
+            clips, cfg.gan.syncnet_T, seed=cfg.seed,
+            with_text=want_text and any(c.text for c in clips),
+        )
         writer = Metrics(ConsoleWriter(every=10))
+        if args.cmd == "train-lip-expert":
+            import jax
+            import jax.numpy as jnp
+
+            from .pipelines import train_lip_expert
+
+            state = train_lip_expert.create_state(
+                jax.random.key(cfg.seed), syncnet_T=cfg.gan.syncnet_T,
+            )
+            for step in range(args.steps):
+                batch = {k: jnp.asarray(v) for k, v in sampler.sample_batch(
+                    cfg.gan.batch_size).items()}
+                state, m = train_lip_expert.train_step(
+                    state, batch, jax.random.key(cfg.seed))
+                writer.write(step, m)
+            if args.out:
+                from .core.checkpoint import save_once
+
+                save_once(args.out, {"lip_expert": state.params})
+                print(f"saved expert → {args.out}")
+            return 0
         if args.cmd == "train-gan":
             from .pipelines import train_gan
 

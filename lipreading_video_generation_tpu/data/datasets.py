@@ -96,10 +96,13 @@ def split_records(
 
 @dataclass
 class GanClip:
-    """One preprocessed clip: face-crop frames + raw waveform."""
+    """One preprocessed clip: face-crop frames + raw waveform (+ optional
+    transcript for the text-conditioned lipreading-expert loss, the
+    Dataset_Lip variant — dataset_lip_reading.py:161-164)."""
 
     frames: np.ndarray  # (T, H, W, 3) uint8 face crops
     wav: np.ndarray     # float32 @ 16 kHz
+    text: Optional[str] = None
 
 
 class GanWindowSampler:
@@ -110,17 +113,27 @@ class GanWindowSampler:
     window from the same clip; mel cropping / resizing / masking happen on
     device (ops/audio.mel_windows, ops/image.mask_lower_half). Failure
     handling is up-front validation, not resampling.
+
+    With ``with_text=True`` batches also carry ``text_tokens`` — the clip's
+    transcript as PAD-padded char ids (Dataset_Lip's text return,
+    dataset_lip_reading.py:161-164), consumed by the GAN's text-conditioned
+    expert loss.
     """
 
-    def __init__(self, clips: Sequence[GanClip], syncnet_T: int = 5, seed: int = 0):
+    def __init__(self, clips: Sequence[GanClip], syncnet_T: int = 5, seed: int = 0,
+                 with_text: bool = False, max_text_len: int = 48):
         self.clips = [c for c in clips if len(c.frames) >= 3 * syncnet_T]
         if not self.clips:
             raise ValueError("no clip long enough for windowed sampling")
         self.T = syncnet_T
         self.rng = np.random.default_rng(seed)
+        self.with_text = with_text
+        self.max_text_len = max_text_len
 
     def sample_batch(self, batch_size: int) -> Dict[str, np.ndarray]:
-        windows, wrongs, starts, wavs = [], [], [], []
+        from ..models.lip_expert import encode_transcript
+
+        windows, wrongs, starts, wavs, tokens = [], [], [], [], []
         max_wav = max(len(c.wav) for c in self.clips)
         for _ in range(batch_size):
             clip = self.clips[self.rng.integers(len(self.clips))]
@@ -133,12 +146,17 @@ class GanWindowSampler:
             wrongs.append(clip.frames[wrong : wrong + self.T])
             starts.append(start)
             wavs.append(np.pad(clip.wav, (0, max_wav - len(clip.wav))))
-        return {
+            if self.with_text:
+                tokens.append(encode_transcript(clip.text or "", self.max_text_len))
+        batch = {
             "window": np.stack(windows),          # (B, T, H, W, 3) uint8
             "wrong_window": np.stack(wrongs),     # (B, T, H, W, 3) uint8
             "start_frame": np.asarray(starts, np.int32),
             "wav": np.stack(wavs).astype(np.float32),
         }
+        if self.with_text:
+            batch["text_tokens"] = np.stack(tokens)
+        return batch
 
 
 def load_gan_clip(frames_dir: str, img_size: Optional[int] = None) -> GanClip:
@@ -157,7 +175,15 @@ def load_gan_clip(frames_dir: str, img_size: Optional[int] = None) -> GanClip:
             img = cv2.resize(img, (img_size, img_size))
         frames.append(img)
     wav = load_wav(os.path.join(frames_dir, "audio.wav"))
-    return GanClip(np.stack(frames), wav)
+    # optional transcript sidecar (the Dataset_Lip text,
+    # dataset_lip_reading.py:161-164; written by offline preprocessing when
+    # the source LRS2 .txt exists)
+    text = None
+    text_path = os.path.join(frames_dir, "text.txt")
+    if os.path.exists(text_path):
+        with open(text_path) as f:
+            text = f.readline().strip().lower()
+    return GanClip(np.stack(frames), wav, text=text)
 
 
 # ---------------------------------------------------------------------------
@@ -335,14 +361,19 @@ class WordClipSampler:
 # ---------------------------------------------------------------------------
 
 def synthetic_gan_clips(
-    n_clips: int = 4, frames: int = 25, img: int = 96, seed: int = 0
+    n_clips: int = 4, frames: int = 25, img: int = 96, seed: int = 0,
+    with_text: bool = False,
 ) -> List[GanClip]:
     rng = np.random.default_rng(seed)
+    words = ["hello", "world", "about", "place", "think", "right"]
     out = []
-    for _ in range(n_clips):
+    for i in range(n_clips):
         f = rng.integers(0, 256, (frames, img, img, 3), dtype=np.uint8)
         wav = (rng.standard_normal(16000) * 0.1).astype(np.float32)
-        out.append(GanClip(f, wav))
+        text = None
+        if with_text:
+            text = " ".join(words[int(j)] for j in rng.integers(0, len(words), 3))
+        out.append(GanClip(f, wav, text=text))
     return out
 
 

@@ -113,3 +113,134 @@ def expert_loss(
     t = encoder.apply({"params": params}, avhubert_video_transform(target))
     t = jax.lax.stop_gradient(t)
     return jnp.mean((g - t) ** 2)
+
+
+# ---------------------------------------------------------------------------
+# Text-conditioned expert: character seq2seq over lip features — the native
+# analog of the reference's AV-HuBERT + label-smoothed seq2seq criterion
+# (gan-model/train_lipreading.py:130-133, avhubert_utils.py:71-110 criterion
+# build + :136-212 text collators). Character tokens replace the fairseq
+# unigram dictionary; a small transformer decoder replaces the fairseq
+# TransformerDecoder.
+# ---------------------------------------------------------------------------
+
+PAD_ID = 0
+BOS_ID = 1
+_CHARS = " abcdefghijklmnopqrstuvwxyz'"
+CHAR_TO_ID = {c: i + 2 for i, c in enumerate(_CHARS)}
+VOCAB_SIZE = 2 + len(_CHARS)
+
+
+def encode_transcript(text: str, max_len: int = 48):
+    """Lowercased transcript → (max_len,) int32 char ids, PAD-padded.
+    Unknown characters are dropped (the collators' dictionary-encode role,
+    avhubert_utils.py:171-189)."""
+    import numpy as np
+
+    ids = [CHAR_TO_ID[c] for c in text.lower() if c in CHAR_TO_ID][:max_len]
+    out = np.full((max_len,), PAD_ID, np.int32)
+    out[: len(ids)] = ids
+    return out
+
+
+def decode_tokens(tokens) -> str:
+    inv = {v: k for k, v in CHAR_TO_ID.items()}
+    return "".join(inv.get(int(t), "") for t in tokens if int(t) > 1)
+
+
+class DecoderBlock(nn.Module):
+    """Pre-LN transformer decoder block: causal self-attention over the
+    token sequence + cross-attention into the lip-encoder features."""
+
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, memory: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
+        from ..ops.attention import mha
+
+        e = x.shape[-1]
+        h = nn.LayerNorm(dtype=self.dtype)(x)
+        qkv = nn.Dense(3 * e, dtype=self.dtype, name="self_qkv")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        x = x + nn.Dense(e, dtype=self.dtype, name="self_proj")(
+            mha(q, k, v, self.num_heads, causal=True)
+        )
+        h = nn.LayerNorm(dtype=self.dtype)(x)
+        q = nn.Dense(e, dtype=self.dtype, name="cross_q")(h)
+        kv = nn.Dense(2 * e, dtype=self.dtype, name="cross_kv")(memory)
+        k, v = jnp.split(kv, 2, axis=-1)
+        x = x + nn.Dense(e, dtype=self.dtype, name="cross_proj")(
+            mha(q, k, v, self.num_heads)
+        )
+        h = nn.LayerNorm(dtype=self.dtype)(x)
+        x = x + nn.Dense(e, dtype=self.dtype)(
+            nn.gelu(nn.Dense(4 * e, dtype=self.dtype)(h))
+        )
+        return x
+
+
+class LipExpertSeq2Seq(nn.Module):
+    """Conformer lip encoder + character transformer decoder.
+
+    ``encode(video)`` → (B, T, E) features (the feature-matching fallback
+    path); ``__call__(video, tokens_in)`` → (B, L, VOCAB_SIZE) next-char
+    logits under teacher forcing."""
+
+    embed_dim: int = 256
+    enc_layers: int = 2
+    dec_layers: int = 2
+    num_heads: int = 4
+    max_text_len: int = 48
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = ConformerLipEncoder(
+            embed_dim=self.embed_dim, num_layers=self.enc_layers,
+            num_heads=self.num_heads, dtype=self.dtype, name="encoder",
+        )
+        self.tok_embed = nn.Embed(VOCAB_SIZE, self.embed_dim, dtype=self.dtype)
+        self.pos_embed = self.param(
+            "dec_pos", nn.initializers.normal(0.02),
+            (1, self.max_text_len, self.embed_dim), jnp.float32,
+        )
+        self.blocks = [
+            DecoderBlock(self.num_heads, dtype=self.dtype, name=f"dec_{i}")
+            for i in range(self.dec_layers)
+        ]
+        self.out_norm = nn.LayerNorm(dtype=self.dtype)
+        self.head = nn.Dense(VOCAB_SIZE, dtype=self.dtype)
+
+    def encode(self, video: jax.Array, deterministic: bool = True) -> jax.Array:
+        return self.encoder(video, deterministic)
+
+    def __call__(self, video: jax.Array, tokens_in: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
+        memory = self.encoder(video, deterministic)
+        x = self.tok_embed(tokens_in.astype(jnp.int32))
+        x = x + self.pos_embed[:, : x.shape[1]].astype(self.dtype)
+        for blk in self.blocks:
+            x = blk(x, memory, deterministic)
+        return self.head(self.out_norm(x)).astype(jnp.float32)
+
+
+def seq2seq_expert_loss(
+    model: LipExpertSeq2Seq,
+    params,
+    video_rgb: jax.Array,     # (B, T, H, W, C) uint8-scale
+    tokens: jax.Array,        # (B, L) char ids, PAD-padded
+) -> jax.Array:
+    """Teacher-forced character CE of the (frozen) expert reading the video
+    against the transcript — the text-conditioned criterion role of
+    train_lipreading.py:130-133. Gradients flow into the video (i.e. the
+    generator), not the expert."""
+    video = avhubert_video_transform(video_rgb)
+    tokens = tokens.astype(jnp.int32)
+    bos = jnp.full((tokens.shape[0], 1), BOS_ID, jnp.int32)
+    tokens_in = jnp.concatenate([bos, tokens[:, :-1]], axis=1)
+    logits = model.apply({"params": params}, video, tokens_in)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, tokens[..., None], axis=-1)[..., 0]
+    mask = (tokens != PAD_ID).astype(jnp.float32)
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)

@@ -62,6 +62,17 @@ def process_clip(
             cv2.imwrite(os.path.join(out_dir, f"{i}.jpg"), crop[:, :, ::-1])
         wav_path = os.path.join(out_dir, "audio.wav")
         video_io.extract_audio(record.video_path, wav_path)
+        # transcript sidecar for the text-conditioned lipreading-expert loss
+        # (Dataset_Lip reads it from the source dir at train time,
+        # dataset_lip_reading.py:161-164; baking it into the clip dir keeps
+        # preprocessed datasets self-contained)
+        if record.transcript_path and os.path.exists(record.transcript_path):
+            from ..data.manifest import parse_transcript
+
+            text, _ = parse_transcript(record.transcript_path)
+            if text:
+                with open(os.path.join(out_dir, "text.txt"), "w") as f:
+                    f.write(text.lower() + "\n")
         return out_dir
     except Exception:
         traceback.print_exc()

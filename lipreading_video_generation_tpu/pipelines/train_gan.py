@@ -78,10 +78,11 @@ def create_state(
     gen_tx = optax.adam(cfg.learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2)
     disc_tx = optax.adam(cfg.disc_learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2)
     if lip_expert_params is None and cfg.lip_weight > 0:
-        from ..models.lip_expert import ConformerLipEncoder
+        from .train_lip_expert import default_expert
 
-        lip_expert_params = ConformerLipEncoder(embed_dim=256, num_layers=2).init(
-            jax.random.fold_in(key, 3), jnp.zeros((1, t, 88, 88, 1))
+        lip_expert_params = default_expert().init(
+            jax.random.fold_in(key, 3),
+            jnp.zeros((1, t, 88, 88, 1)), jnp.zeros((1, 48), jnp.int32),
         )["params"]
     return GanTrainState(
         step=jnp.zeros((), jnp.int32),
@@ -173,17 +174,28 @@ def gan_train_step(
         fake_pred = disc.apply({"params": state.disc_params}, g)
         perceptual = losses.perceptual_adversarial_loss(fake_pred)
         # optional frozen lipreading-expert loss (--lipreading path,
-        # train_lipreading.py:128-133): expert-feature matching between
-        # generated and ground-truth mouth windows.
+        # train_lipreading.py:128-133). With transcripts in the batch
+        # (Dataset_Lip role) the criterion is the text-conditioned seq2seq
+        # CE of the expert reading the GENERATED window against the
+        # transcript (avhubert seq2seq criterion analog); without text it
+        # falls back to expert-feature matching vs the ground-truth window.
         if cfg.lip_weight > 0 and state.lip_expert_params is not None:
-            from ..models.lip_expert import ConformerLipEncoder, avhubert_video_transform
+            from ..models.lip_expert import avhubert_video_transform, seq2seq_expert_loss
+            from .train_lip_expert import default_expert
 
-            enc = ConformerLipEncoder(embed_dim=256, num_layers=2)
-            gf = enc.apply({"params": state.lip_expert_params},
-                           avhubert_video_transform(g * 255.0))
-            tf_ = enc.apply({"params": state.lip_expert_params},
-                            avhubert_video_transform(prep["gt"] * 255.0))
-            lip = jnp.mean((gf - jax.lax.stop_gradient(tf_)) ** 2)
+            expert = default_expert()
+            if "text_tokens" in batch:
+                lip = seq2seq_expert_loss(
+                    expert, state.lip_expert_params, g * 255.0, batch["text_tokens"]
+                )
+            else:
+                gf = expert.apply({"params": state.lip_expert_params},
+                                  avhubert_video_transform(g * 255.0),
+                                  method="encode")
+                tf_ = expert.apply({"params": state.lip_expert_params},
+                                   avhubert_video_transform(prep["gt"] * 255.0),
+                                   method="encode")
+                lip = jnp.mean((gf - jax.lax.stop_gradient(tf_)) ** 2)
         else:
             lip = jnp.zeros(())
         total, metrics = losses.generator_loss(

@@ -1,0 +1,77 @@
+"""Train the text-conditioned lipreading expert (character seq2seq).
+
+The reference downloads a pretrained fairseq AV-HuBERT ensemble
+(gan-model/avhubert_utils.py:71-110) and freezes most of it
+(train_lipreading.py:113-134). With no torch runtime here, the expert is
+trainable in-framework instead (like the SyncNet expert,
+pipelines/train_syncnet.py): teacher-forced character CE over (mouth
+window, transcript) pairs. The trained params then plug into the GAN's
+``--lipreading`` loss (train_gan.gan_train_step's text-conditioned path).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.lip_expert import (
+    LipExpertSeq2Seq,
+    avhubert_video_transform,
+    seq2seq_expert_loss,
+)
+
+
+@flax.struct.dataclass
+class LipExpertTrainState:
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+
+
+def default_expert(max_text_len: int = 48) -> LipExpertSeq2Seq:
+    return LipExpertSeq2Seq(embed_dim=256, enc_layers=2, dec_layers=2,
+                            num_heads=4, max_text_len=max_text_len)
+
+
+def create_state(
+    key: jax.Array,
+    syncnet_T: int = 5,
+    learning_rate: float = 1e-4,
+    max_text_len: int = 48,
+) -> LipExpertTrainState:
+    model = default_expert(max_text_len)
+    video = jnp.zeros((1, syncnet_T, 88, 88, 1))
+    tokens = jnp.zeros((1, max_text_len), jnp.int32)
+    params = model.init(key, video, tokens)["params"]
+    tx = optax.adam(learning_rate)
+    return LipExpertTrainState(
+        step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params), tx=tx
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_text_len",), donate_argnums=(0,))
+def train_step(
+    state: LipExpertTrainState,
+    batch: Dict[str, jax.Array],   # window (B,T,H,W,3) uint8, text_tokens (B,L)
+    key: jax.Array,
+    max_text_len: int = 48,
+) -> Tuple[LipExpertTrainState, Dict[str, jax.Array]]:
+    model = default_expert(max_text_len)
+
+    def loss_fn(params):
+        return seq2seq_expert_loss(
+            model, params, batch["window"].astype(jnp.float32), batch["text_tokens"]
+        )
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_state = state.replace(
+        step=state.step + 1, params=new_params, opt_state=new_opt
+    )
+    return new_state, {"loss": loss}

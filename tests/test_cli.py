@@ -147,3 +147,12 @@ def test_sample_diffusion_from_checkpoint_and_cond_video(tmp_path):
     b = cv2.imread(out_ck)
     assert a.shape == (16, 16, 3) and b.shape == (16, 16, 3)
     assert np.any(a != b)
+
+
+def test_train_lip_expert_synthetic(tmp_path, capsys):
+    out = str(tmp_path / "expert_ck")
+    rc = cli.main(["train-lip-expert", "--steps", "2", "--synthetic",
+                   "--out", out, "--set", "gan.batch_size=2"])
+    assert rc == 0
+    assert os.path.exists(out)
+    assert "saved expert" in capsys.readouterr().out
