@@ -11,10 +11,13 @@ the MXU in fp32 accumulation.
 Block-wise softmax also makes a future ring/sequence-parallel extension a
 mesh-axis change rather than a rewrite (SURVEY.md §5 long-context note).
 
-Gradients: ``flash_attention`` carries a custom VJP whose backward pass is
-the standard recompute-based flash backward expressed in plain XLA (exact,
-checkpoint-style recompute; the reference workloads' sequence lengths make
-a Pallas backward unnecessary for now).
+Gradients: ``flash_attention`` carries a custom VJP with Pallas
+FlashAttention-2-style backward kernels — the forward saves the per-row
+logsumexp, a cheap XLA pass forms Δ = Σ dO·O, then a dK/dV kernel
+(sequential over q blocks) and a dQ kernel (sequential over kv blocks)
+recompute probabilities blockwise so scores never hit HBM in the backward
+either. ``_blockwise_attention_xla`` remains as a pure-XLA oracle for
+gradient-parity tests.
 
 On non-TPU backends the same kernel runs in Pallas interpret mode (used by
 the CPU test suite); numerics match the XLA reference implementation.
@@ -61,7 +64,7 @@ def attention_reference(
 # ---------------------------------------------------------------------------
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
+    q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
     *, sm_scale, block_q, block_k, q_len, kv_len, causal,
 ):
     """Grid (batch·head, q-blocks, kv-blocks); the kv axis is sequential,
@@ -109,6 +112,8 @@ def _flash_kernel(
     @pl.when(ki == nk - 1)
     def _finish():
         o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
+        # per-row logsumexp, saved for the Pallas backward
+        lse_ref[0] = m_ref[:] + jnp.log(jnp.maximum(l_ref[:], 1e-30))
 
 
 def _pad_to(x: jax.Array, axis: int, mult: int) -> jax.Array:
@@ -149,7 +154,7 @@ def _flash_forward(
         kv_len=s_k,
         causal=causal,
     )
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -157,8 +162,14 @@ def _flash_forward(
             pl.BlockSpec((1, block_k, d_pad), lambda bh, qi, ki: (bh, ki, 0)),
             pl.BlockSpec((1, block_k, d_pad), lambda bh, qi, ki: (bh, ki, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda bh, qi, ki: (bh, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d_pad), out_dtype),
+        out_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh, qi, ki: (bh, qi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, sq_pad, d_pad), out_dtype),
+            jax.ShapeDtypeStruct((b * h, sq_pad, 1), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, d_pad), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -169,21 +180,203 @@ def _flash_forward(
         ),
         interpret=interpret,
     )(qp, kp, vp)
-    return out.reshape(b, h, sq_pad, d_pad)[:, :, :s_q, :d]
+    return out.reshape(b, h, sq_pad, d_pad)[:, :, :s_q, :d], lse.reshape(b, h, sq_pad)
 
 
 # ---------------------------------------------------------------------------
-# custom VJP: Pallas forward, XLA recompute backward
+# custom VJP: Pallas forward AND Pallas backward (FlashAttention-2 style
+# dq/dk/dv kernels over the saved per-row logsumexp)
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _flash(q, k, v, causal, sm_scale, block_q, block_k, interpret):
-    return _flash_forward(q, k, v, causal, sm_scale, block_q, block_k, interpret)
+    out, _ = _flash_forward(q, k, v, causal, sm_scale, block_q, block_k, interpret)
+    return out
 
 
 def _flash_fwd(q, k, v, causal, sm_scale, block_q, block_k, interpret):
-    out = _flash_forward(q, k, v, causal, sm_scale, block_q, block_k, interpret)
-    return out, (q, k, v)
+    out, lse = _flash_forward(q, k, v, causal, sm_scale, block_q, block_k, interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    dk_acc, dv_acc, *, sm_scale, block_q, block_k, q_len, kv_len, causal,
+):
+    """Grid (batch·head, kv-blocks, q-blocks): the q axis is sequential,
+    accumulating this kv-block's dK/dV in VMEM scratch (FlashAttention-2
+    backward, dK/dV pass)."""
+    ki = pl.program_id(1)
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    # causal: skip fully-masked (q, k) block pairs
+    off = kv_len - q_len
+    live = (not causal) or (ki * block_k <= qi * block_q + block_q - 1 + off)
+
+    @pl.when(live)
+    def _accumulate():
+        q = q_ref[0].astype(jnp.float32)
+        kblk = k_ref[0].astype(jnp.float32)
+        vblk = v_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0].astype(jnp.float32)        # (block_q, 1)
+        delta = delta_ref[0].astype(jnp.float32)    # (block_q, 1)
+
+        s = jax.lax.dot_general(
+            q, kblk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale                                 # (block_q, block_k)
+        q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1), 0)
+        k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
+        mask = (k_pos < kv_len) & (q_pos < q_len)
+        if causal:
+            mask = mask & (k_pos <= q_pos + off)
+        s = jnp.where(mask, s, _NEG_INF)
+        p = jnp.exp(s - lse)                         # exact fwd probabilities
+        dv_acc[:] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )                                            # pᵀ·dO (block_k, D)
+        dp = jax.lax.dot_general(
+            do, vblk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )                                            # dO·Vᵀ (block_q, block_k)
+        ds = p * (dp - delta) * sm_scale
+        dk_acc[:] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )                                            # dsᵀ·Q (block_k, D)
+
+    @pl.when(qi == nq - 1)
+    def _finish():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+    dq_acc, *, sm_scale, block_q, block_k, q_len, kv_len, causal,
+):
+    """Grid (batch·head, q-blocks, kv-blocks): the kv axis is sequential,
+    accumulating this q-block's dQ in VMEM scratch."""
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    off = kv_len - q_len
+    live = (not causal) or (ki * block_k <= qi * block_q + block_q - 1 + off)
+
+    @pl.when(live)
+    def _accumulate():
+        q = q_ref[0].astype(jnp.float32)
+        kblk = k_ref[0].astype(jnp.float32)
+        vblk = v_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0].astype(jnp.float32)
+        delta = delta_ref[0].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, kblk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale
+        q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1), 0)
+        k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
+        mask = (k_pos < kv_len) & (q_pos < q_len)
+        if causal:
+            mask = mask & (k_pos <= q_pos + off)
+        s = jnp.where(mask, s, _NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, vblk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * sm_scale
+        dq_acc[:] += jax.lax.dot_general(
+            ds, kblk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )                                            # ds·K (block_q, D)
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _flash_backward_pallas(
+    q, k, v, out, lse, g, causal, sm_scale, block_q, block_k, interpret
+):
+    """dq/dk/dv via the two Pallas kernels above. ``lse`` is (B, H, sq_pad)
+    from the forward."""
+    b, h, s_q, d = q.shape
+    s_k = k.shape[2]
+    block_q = min(block_q, max(8, 1 << (s_q - 1).bit_length()))
+    block_k = min(block_k, max(8, 1 << (s_k - 1).bit_length()))
+    d_pad = max(128, ((d + 127) // 128) * 128)
+
+    qp = _pad_to(_pad_to(q, 3, d_pad), 2, block_q).reshape(b * h, -1, d_pad)
+    kp = _pad_to(_pad_to(k, 3, d_pad), 2, block_k).reshape(b * h, -1, d_pad)
+    vp = _pad_to(_pad_to(v, 3, d_pad), 2, block_k).reshape(b * h, -1, d_pad)
+    dop = _pad_to(_pad_to(g, 3, d_pad), 2, block_q).reshape(b * h, -1, d_pad)
+    sq_pad = qp.shape[1]
+    sk_pad = kp.shape[1]
+
+    # delta_i = Σ_d dO_i · O_i (the FA2 D vector) — cheap XLA elementwise
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    delta = _pad_to(delta, 2, block_q).reshape(b * h, sq_pad, 1)
+    lsep = lse.reshape(b * h, -1, 1)
+    if lsep.shape[1] != sq_pad:  # defensive: lse padded with a different bq
+        lsep = _pad_to(lse.reshape(b, h, -1)[:, :, :s_q], 2, block_q).reshape(
+            b * h, sq_pad, 1)
+
+    kwargs = dict(sm_scale=sm_scale, block_q=block_q, block_k=block_k,
+                  q_len=s_q, kv_len=s_k, causal=causal)
+    q_spec3 = pl.BlockSpec((1, block_q, d_pad), lambda bh, ki, qi: (bh, qi, 0))
+    k_spec3 = pl.BlockSpec((1, block_k, d_pad), lambda bh, ki, qi: (bh, ki, 0))
+    qrow3 = pl.BlockSpec((1, block_q, 1), lambda bh, ki, qi: (bh, qi, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, **kwargs),
+        grid=(b * h, sk_pad // block_k, sq_pad // block_q),
+        in_specs=[q_spec3, k_spec3, k_spec3, q_spec3, qrow3, qrow3],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d_pad), lambda bh, ki, qi: (bh, ki, 0)),
+            pl.BlockSpec((1, block_k, d_pad), lambda bh, ki, qi: (bh, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, sk_pad, d_pad), k.dtype),
+            jax.ShapeDtypeStruct((b * h, sk_pad, d_pad), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d_pad), jnp.float32),
+            pltpu.VMEM((block_k, d_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lsep, delta)
+
+    q_spec2 = pl.BlockSpec((1, block_q, d_pad), lambda bh, qi, ki: (bh, qi, 0))
+    k_spec2 = pl.BlockSpec((1, block_k, d_pad), lambda bh, qi, ki: (bh, ki, 0))
+    qrow2 = pl.BlockSpec((1, block_q, 1), lambda bh, qi, ki: (bh, qi, 0))
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, **kwargs),
+        grid=(b * h, sq_pad // block_q, sk_pad // block_k),
+        in_specs=[q_spec2, k_spec2, k_spec2, q_spec2, qrow2, qrow2],
+        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda bh, qi, ki: (bh, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d_pad), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lsep, delta)
+
+    dq = dq.reshape(b, h, sq_pad, d_pad)[:, :, :s_q, :d]
+    dk = dk.reshape(b, h, sk_pad, d_pad)[:, :, :s_k, :d]
+    dv = dv.reshape(b, h, sk_pad, d_pad)[:, :, :s_k, :d]
+    return dq, dk, dv
 
 
 def _blockwise_attention_xla(
@@ -245,16 +438,10 @@ def _blockwise_attention_xla(
 
 
 def _flash_bwd(causal, sm_scale, block_q, block_k, interpret, res, g):
-    q, k, v = res
-    s_q, s_k = q.shape[2], k.shape[2]
-    if s_q * s_k <= 2048 * 2048:
-        # small: dense recompute is cheapest
-        fn = lambda q_, k_, v_: attention_reference(q_, k_, v_, causal, sm_scale)
-    else:
-        # large: memory-bounded blockwise recompute (no (S,S) materialization)
-        fn = lambda q_, k_, v_: _blockwise_attention_xla(q_, k_, v_, causal, sm_scale)
-    _, vjp = jax.vjp(fn, q, k, v)
-    return vjp(g)
+    q, k, v, out, lse = res
+    return _flash_backward_pallas(
+        q, k, v, out, lse, g, causal, sm_scale, block_q, block_k, interpret
+    )
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)

@@ -137,3 +137,55 @@ def test_causal_cross_length_bottom_right_alignment(rng):
     got_blockwise = _blockwise_attention_xla(q, k, v, True, 32 ** -0.5, block_k=64)
     np.testing.assert_allclose(np.asarray(got_blockwise), np.asarray(want),
                                rtol=5e-4, atol=5e-4)
+
+
+def _grad_pair(loss_a, loss_b, *args, rtol=2e-3, atol=2e-3):
+    g1 = jax.grad(loss_a, argnums=(0, 1, 2))(*args)
+    g2 = jax.grad(loss_b, argnums=(0, 1, 2))(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=rtol, atol=atol)
+
+
+def test_flash_gradients_causal(rng):
+    q, k, v = _qkv(rng, b=1, h=2, s=192, d=16)
+    _grad_pair(
+        lambda a, b, c: jnp.sum(flash_attention(a, b, c, causal=True, interpret=True) ** 2),
+        lambda a, b, c: jnp.sum(attention_reference(a, b, c, causal=True) ** 2),
+        q, k, v,
+    )
+
+
+def test_flash_gradients_ragged_and_blocked(rng):
+    # sequence not a multiple of the block → padded rows/cols must carry
+    # ZERO gradient contributions in the Pallas backward
+    q, k, v = _qkv(rng, b=1, h=1, s=200, d=16)
+    _grad_pair(
+        lambda a, b, c: jnp.sum(
+            flash_attention(a, b, c, block_q=128, block_k=128, interpret=True) ** 2),
+        lambda a, b, c: jnp.sum(attention_reference(a, b, c) ** 2),
+        q, k, v,
+    )
+
+
+def test_flash_gradients_cross_length_causal(rng):
+    q = jnp.asarray(rng.standard_normal((1, 2, 160, 16)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 2, 256, 16)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 2, 256, 16)).astype(np.float32))
+    _grad_pair(
+        lambda a, b, c: jnp.sum(
+            flash_attention(a, b, c, causal=True, block_q=64, block_k=64,
+                            interpret=True) ** 2),
+        lambda a, b, c: jnp.sum(attention_reference(a, b, c, causal=True) ** 2),
+        q, k, v,
+    )
+
+
+def test_flash_gradients_weighted_cotangent(rng):
+    # non-uniform upstream gradient exercises the Δ = Σ dO·O term properly
+    q, k, v = _qkv(rng, b=2, h=2, s=160, d=32)
+    w = jnp.asarray(rng.standard_normal((2, 2, 160, 32)).astype(np.float32))
+    _grad_pair(
+        lambda a, b, c: jnp.sum(w * flash_attention(a, b, c, interpret=True)),
+        lambda a, b, c: jnp.sum(w * attention_reference(a, b, c)),
+        q, k, v,
+    )
