@@ -85,10 +85,18 @@ def main(argv: List[str] | None = None) -> int:
     p.add_argument("--checkpoint-every", type=int, default=500)
     p.add_argument("--synthetic", action="store_true")
 
+    p = _base_parser(sub, "train-landmark",
+                     "train the lip-landmark regressor (MediaPipe-parity mouth crops)")
+    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--out", default=None, help="save trained landmark params here")
+
     p = _base_parser(sub, "lipread-e2e", "LRS2 → word clips → ViViT train → sentence eval")
     p.add_argument("--data-root", required=True)
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--max-clips", type=int, default=None)
+    p.add_argument("--landmark-checkpoint", default=None,
+                   help="trained lip-landmark params (train-landmark --out); "
+                        "defaults to the geometric mouth-box estimate")
 
     p = _base_parser(sub, "sample-diffusion", "reverse-diffusion sampling")
     p.add_argument("--checkpoint", default=None,
@@ -267,11 +275,22 @@ def main(argv: List[str] | None = None) -> int:
         )
         return 0
 
+    if args.cmd == "train-landmark":
+        from .pipelines import train_landmark
+
+        state = train_landmark.train(
+            num_steps=args.steps, seed=cfg.seed, checkpoint_dir=args.out
+        )
+        if args.out:
+            print(f"saved landmark params → {args.out}")
+        return 0
+
     if args.cmd == "lipread-e2e":
         from .pipelines import lipreading_e2e
 
         state, stats = lipreading_e2e.run(
-            cfg, args.data_root, num_epochs=args.epochs, max_clips=args.max_clips
+            cfg, args.data_root, num_epochs=args.epochs, max_clips=args.max_clips,
+            landmark_checkpoint=args.landmark_checkpoint,
         )
         print(f"word accuracy={stats.get('accuracy'):.4f} "
               f"sentence accuracy={stats.get('sentence_accuracy'):.4f}")

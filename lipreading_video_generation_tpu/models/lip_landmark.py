@@ -1,0 +1,169 @@
+"""Lightweight lip-landmark regressor: face crop → 4 lip points → mouth box.
+
+Capability target: the MediaPipe FaceLandmarker lip crop of the reference
+(lipreading/preprocess.py:38-80). The reference picks landmarks
+[57, 287, 164, 18] — left mouth corner, right mouth corner, upper lip
+(philtrum) and lower lip — takes their pixel bounding box and expands it to
+at least 48x48 (preprocess.py:70-78).
+
+TPU redesign: MediaPipe is a host-side C++ graph and cannot run on device.
+Instead of the fixed geometric face-box fraction used as the bootstrap
+(pipelines/preprocess.mouth_box_from_face), this module provides a small
+trainable conv regressor over the S3FD face crop. The whole path — crop the
+detected face, resize, regress 4 normalized points, map back to image
+coordinates, expand to the minimum crop size — is one fused jitted batch
+program, so landmark quality comes at negligible cost next to detection.
+
+The four predicted points keep the reference's semantics: points 0/1 span
+the mouth horizontally (corners), points 2/3 span it vertically
+(upper/lower lip), so ``mouth_box_from_landmarks`` reproduces the
+``dim/scale`` bbox math of preprocess.py:63-68 with our (y1, y2, x1, x2)
+box convention.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import image as image_ops
+
+# Input resolution of the regressor (square grayscale face crop).
+CROP_SIZE = 64
+NUM_POINTS = 4  # left corner, right corner, upper lip, lower lip
+
+
+class LipLandmarkNet(nn.Module):
+    """(B, 64, 64, 1) grayscale face crop in [0,1] → (B, 4, 2) normalized
+    (x, y) lip points in face-crop coordinates.
+
+    Four stride-2 conv stages (GroupNorm — batch-size independent, frozen
+    friendly) + global pooling + MLP head; sigmoid keeps predictions inside
+    the crop. ~0.4M params: small enough to ride along with S3FD detection
+    without moving the preprocessing throughput needle.
+    """
+
+    width: int = 32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = x
+        for i, mult in enumerate((1, 2, 4, 8)):
+            h = nn.Conv(self.width * mult, (3, 3), strides=2, name=f"conv{i}")(h)
+            h = nn.GroupNorm(num_groups=8, name=f"norm{i}")(h)
+            h = nn.silu(h)
+        h = jnp.mean(h, axis=(1, 2))                       # (B, 8*width)
+        h = nn.silu(nn.Dense(self.width * 4, name="fc1")(h))
+        pts = nn.Dense(NUM_POINTS * 2, name="fc2")(h)      # (B, 8)
+        return nn.sigmoid(pts).reshape(-1, NUM_POINTS, 2)
+
+
+def mouth_box_from_landmarks(
+    points: jax.Array,          # (4, 2) normalized (x, y) in face-crop coords
+    face_box: jax.Array,        # (4,) y1, y2, x1, x2 in image pixels
+    min_size: int = 48,
+) -> jax.Array:
+    """Reference bbox math (preprocess.py:63-78) in our box convention.
+
+    x-range from the two mouth corners (points 0/1), y-range from the
+    upper/lower lip points (points 2/3); the pixel box is then expanded to
+    at least ``min_size`` per side.
+    """
+    y1, y2, x1, x2 = face_box[0], face_box[1], face_box[2], face_box[3]
+    h, w = y2 - y1, x2 - x1
+    xs = x1 + points[:2, 0] * w
+    ys = y1 + points[2:, 1] * h
+    box = jnp.stack([
+        jnp.minimum(ys[0], ys[1]),
+        jnp.maximum(ys[0], ys[1]),
+        jnp.minimum(xs[0], xs[1]),
+        jnp.maximum(xs[0], xs[1]),
+    ])
+    return image_ops.expand_box_to_min_size(box, min_size, min_size).astype(jnp.float32)
+
+
+def face_crops_for_landmarks(frames: jax.Array, face_boxes: jax.Array) -> jax.Array:
+    """(T, H, W, 3) uint8/float frames + (T, 4) face boxes → (T, 64, 64, 1)
+    normalized grayscale crops, the regressor's input."""
+    crops = jax.vmap(
+        lambda f, b: image_ops.crop_and_resize(f, b, (CROP_SIZE, CROP_SIZE), "bilinear")
+    )(frames.astype(jnp.float32), face_boxes)
+    gray = image_ops.rgb_to_gray(crops)
+    return gray / 255.0
+
+
+@functools.partial(jax.jit, static_argnames=("min_size",))
+def predict_mouth_boxes(
+    params,
+    frames: jax.Array,           # (T, H, W, 3)
+    face_boxes: jax.Array,       # (T, 4) y1y2x1x2
+    min_size: int = 48,
+) -> jax.Array:
+    """Fused landmark mouth-box path: crop faces → regress points → boxes.
+
+    Drop-in replacement for the geometric ``mouth_box_from_face`` batch
+    (pipelines/preprocess.py:34-52) once a trained checkpoint is supplied.
+    """
+    crops = face_crops_for_landmarks(frames, face_boxes)
+    pts = LipLandmarkNet().apply({"params": params}, crops)
+    return jax.vmap(lambda p, b: mouth_box_from_landmarks(p, b, min_size))(pts, face_boxes)
+
+
+def init_params(key: jax.Array, width: int = 32):
+    return LipLandmarkNet(width=width).init(
+        key, jnp.zeros((1, CROP_SIZE, CROP_SIZE, 1), jnp.float32)
+    )["params"]
+
+
+# ---------------------------------------------------------------------------
+# Synthetic supervision: parametric face renderer with oracle lip points.
+#
+# The environment has no LRS2/MediaPipe labels, so the regressor trains (and
+# its calibration test evaluates) on procedurally rendered faces: an
+# ellipse head, two eyes, and a dark mouth ellipse whose center/size vary
+# per sample. The oracle points are the mouth ellipse extremes — exactly
+# what MediaPipe's [57, 287, 164, 18] landmarks measure on a real face.
+# ---------------------------------------------------------------------------
+
+
+def synthetic_face_batch(
+    key: jax.Array, n: int, size: int = CROP_SIZE
+) -> Tuple[jax.Array, jax.Array]:
+    """Render n synthetic faces → ((n, size, size, 1) float [0,1] images,
+    (n, 4, 2) oracle normalized lip points)."""
+    keys = jax.random.split(key, 6)
+    cx = jax.random.uniform(keys[0], (n,), minval=0.35, maxval=0.65)
+    cy = jax.random.uniform(keys[1], (n,), minval=0.55, maxval=0.8)
+    mw = jax.random.uniform(keys[2], (n,), minval=0.08, maxval=0.2)   # half-width
+    mh = jax.random.uniform(keys[3], (n,), minval=0.03, maxval=0.09)  # half-height
+    skin = jax.random.uniform(keys[4], (n,), minval=0.55, maxval=0.85)
+    noise = 0.03 * jax.random.normal(keys[5], (n, size, size))
+
+    yy, xx = jnp.meshgrid(
+        (jnp.arange(size) + 0.5) / size, (jnp.arange(size) + 0.5) / size, indexing="ij"
+    )
+
+    def render(cx_i, cy_i, mw_i, mh_i, skin_i, noise_i):
+        head = ((xx - 0.5) / 0.42) ** 2 + ((yy - 0.45) / 0.5) ** 2 <= 1.0
+        img = jnp.where(head, skin_i, 0.12)
+        for ex in (0.35, 0.65):
+            eye = ((xx - ex) / 0.07) ** 2 + ((yy - 0.3) / 0.045) ** 2 <= 1.0
+            img = jnp.where(eye, 0.15, img)
+        mouth = ((xx - cx_i) / mw_i) ** 2 + ((yy - cy_i) / mh_i) ** 2 <= 1.0
+        img = jnp.where(mouth, 0.08, img)
+        return jnp.clip(img + noise_i, 0.0, 1.0)
+
+    imgs = jax.vmap(render)(cx, cy, mw, mh, skin, noise)[..., None]
+    pts = jnp.stack(
+        [
+            jnp.stack([cx - mw, cy], axis=-1),   # left corner
+            jnp.stack([cx + mw, cy], axis=-1),   # right corner
+            jnp.stack([cx, cy - mh], axis=-1),   # upper lip
+            jnp.stack([cx, cy + mh], axis=-1),   # lower lip
+        ],
+        axis=1,
+    )
+    return imgs, pts

@@ -43,8 +43,13 @@ def build_word_clip_dataset(
     records: Sequence[ClipRecord],
     s3fd_params=None,
     max_clips: Optional[int] = None,
+    landmark_params=None,
 ) -> LipreadingDataset:
-    """LRS2 records → per-word ROI clips + labels + sentence boundaries."""
+    """LRS2 records → per-word ROI clips + labels + sentence boundaries.
+
+    ``landmark_params`` (a trained models/lip_landmark.LipLandmarkNet) swaps
+    the geometric mouth-box estimate for regressed lip landmarks — the
+    MediaPipe-parity path (lipreading/preprocess.py:38-80)."""
     if s3fd_params is None:
         s3fd_params = S3FD().init(
             jax.random.key(0), np.zeros((1, 64, 64, 3), np.float32)
@@ -64,7 +69,8 @@ def build_word_clip_dataset(
         except (OSError, ValueError):
             continue
         cclips, cwords = preprocess_clip_for_lipreading(
-            frames, s3fd_params, spans, cfg.preprocess, cfg.vivit.num_frames
+            frames, s3fd_params, spans, cfg.preprocess, cfg.vivit.num_frames,
+            landmark_params=landmark_params,
         )
         starts.append(len(words))
         transcripts.append(rec.text)
@@ -84,13 +90,21 @@ def run(
     num_epochs: Optional[int] = None,
     max_clips: Optional[int] = None,
     metrics_writer=None,
+    landmark_checkpoint: Optional[str] = None,
 ) -> Tuple[train_vivit.TrainState, Dict[str, float]]:
     """Full pipeline: manifest → word clips → ViViT train → word accuracy +
     sentence-level beam-search accuracy (main.py:29-62 + sentence_eval)."""
     from ..core.config import replace as cfg_replace
 
+    landmark_params = None
+    if landmark_checkpoint is not None:
+        from .train_landmark import load_params
+
+        landmark_params = load_params(landmark_checkpoint)
     records, skipped = build_manifest(data_root, require_transcript=True)
-    ds = build_word_clip_dataset(cfg, records, max_clips=max_clips)
+    ds = build_word_clip_dataset(
+        cfg, records, max_clips=max_clips, landmark_params=landmark_params
+    )
     if not ds.clips:
         raise ValueError(f"no word clips extracted from {data_root!r} ({skipped} skipped)")
 

@@ -53,6 +53,32 @@ def mouth_box_from_face(face_box: jax.Array, min_size: int = 48) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("crop_hw", "out_hw", "clahe_clip", "grid"))
+def mouth_roi_pipeline_from_boxes(
+    frames_uint8: jax.Array,     # (T, H, W, 3) RGB uint8
+    mouth_boxes: jax.Array,      # (T, 4) y1y2x1x2 float mouth crops
+    crop_hw: Tuple[int, int] = (48, 48),
+    out_hw: Tuple[int, int] = (32, 32),
+    clahe_clip: float = 0.2,
+    grid: Tuple[int, int] = (8, 8),
+) -> jax.Array:
+    """Fused ROI pipeline from precomputed mouth boxes (geometric or
+    landmark-regressed) → (T, out_h, out_w, 1) uint8.
+
+    Per frame: crop+resize to crop_hw (the 48×48 cubic resize of
+    get_data.py:45) → CLAHE contrast boost on luma (contrast_boost,
+    preprocess.py:17-34) → resize to the model input size (main.py:35-36's
+    32×32) → grayscale.
+    """
+    crops = jax.vmap(lambda f, b: image_ops.crop_and_resize(f, b, crop_hw, "cubic"))(
+        frames_uint8.astype(jnp.float32), mouth_boxes
+    )
+    gray = image_ops.rgb_to_gray(crops)[..., 0]          # (T, h, w)
+    boosted = image_ops.clahe(gray, clahe_clip, grid)
+    out = image_ops.resize(boosted[..., None], out_hw, "bilinear")
+    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("crop_hw", "out_hw", "clahe_clip", "grid"))
 def mouth_roi_pipeline(
     frames_uint8: jax.Array,     # (T, H, W, 3) RGB uint8
     face_boxes: jax.Array,       # (T, 4) y1y2x1x2 float
@@ -61,21 +87,12 @@ def mouth_roi_pipeline(
     clahe_clip: float = 0.2,
     grid: Tuple[int, int] = (8, 8),
 ) -> jax.Array:
-    """All-frames fused mouth-ROI pipeline → (T, out_h, out_w, 1) uint8.
-
-    Per frame: mouth box from face box → crop+resize to crop_hw (the 48×48
-    cubic resize of get_data.py:45) → CLAHE contrast boost on luma
-    (contrast_boost, preprocess.py:17-34) → resize to the model input size
-    (main.py:35-36's 32×32) → grayscale.
-    """
-    mouth = jax.vmap(mouth_box_from_face)(face_boxes)
-    crops = jax.vmap(lambda f, b: image_ops.crop_and_resize(f, b, crop_hw, "cubic"))(
-        frames_uint8.astype(jnp.float32), mouth
+    """All-frames fused mouth-ROI pipeline with the geometric mouth-box
+    estimate → (T, out_h, out_w, 1) uint8."""
+    mouth = jax.vmap(lambda b: mouth_box_from_face(b, crop_hw[0]))(face_boxes)
+    return mouth_roi_pipeline_from_boxes(
+        frames_uint8, mouth, crop_hw, out_hw, clahe_clip, grid
     )
-    gray = image_ops.rgb_to_gray(crops)[..., 0]          # (T, h, w)
-    boosted = image_ops.clahe(gray, clahe_clip, grid)
-    out = image_ops.resize(boosted[..., None], out_hw, "bilinear")
-    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
 
 
 def slice_word_clips(
@@ -107,15 +124,26 @@ def preprocess_clip_for_lipreading(
     word_spans: Sequence[Tuple[str, int, int]],
     cfg: PreprocessConfig = PreprocessConfig(),
     max_frames: int = 5,
+    landmark_params=None,
 ) -> Tuple[List[np.ndarray], List[str]]:
-    """Full host+device path for one clip: detect → fused ROI pipeline →
-    word windows. Returns (clips [(max_frames, h, w, 1) uint8], words)."""
+    """Full host+device path for one clip: detect → mouth boxes (trained
+    landmark regressor when ``landmark_params`` is given, geometric estimate
+    otherwise) → fused ROI pipeline → word windows. Returns
+    (clips [(max_frames, h, w, 1) uint8], words)."""
+    from ..models import lip_landmark
     from .inference import detect_face_tracks
 
     boxes = detect_face_tracks(s3fd_params, frames, cfg)
+    frames_j, boxes_j = jnp.asarray(frames), jnp.asarray(boxes)
+    if landmark_params is not None:
+        mouth = lip_landmark.predict_mouth_boxes(
+            landmark_params, frames_j, boxes_j, cfg.lip_crop_size[0]
+        )
+    else:
+        mouth = jax.vmap(lambda b: mouth_box_from_face(b, cfg.lip_crop_size[0]))(boxes_j)
     processed = np.asarray(
-        mouth_roi_pipeline(
-            jnp.asarray(frames), jnp.asarray(boxes),
+        mouth_roi_pipeline_from_boxes(
+            frames_j, mouth,
             cfg.lip_crop_size, cfg.model_input_size,
             cfg.clahe_clip_limit, cfg.clahe_grid,
         )

@@ -19,6 +19,7 @@ def test_train_vivit_synthetic(capsys):
     assert "best" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_train_diffusion_synthetic(capsys):
     rc = cli.main([
         "train-diffusion", "--steps", "2", "--synthetic",
@@ -74,6 +75,7 @@ GAN_TINY = ["--set", "gan.model_width=0.125", "--set", "gan.dtype=float32",
             "--set", "gan.batch_size=2"]
 
 
+@pytest.mark.slow
 def test_infer_lipsync_from_trained_checkpoint(tmp_path):
     """The reference's core serving UX (inference.py:13-22,162-181):
     train → checkpoint → infer with --checkpoint; output must differ from
@@ -122,6 +124,7 @@ DIFF_TINY = [
 ]
 
 
+@pytest.mark.slow
 def test_sample_diffusion_from_checkpoint_and_cond_video(tmp_path):
     """test.py:86-148 parity: sample with trained weights and a real
     condition clip (--cond-video/--cond-audio)."""
@@ -149,6 +152,7 @@ def test_sample_diffusion_from_checkpoint_and_cond_video(tmp_path):
     assert np.any(a != b)
 
 
+@pytest.mark.slow
 def test_train_lip_expert_synthetic(tmp_path, capsys):
     out = str(tmp_path / "expert_ck")
     rc = cli.main(["train-lip-expert", "--steps", "2", "--synthetic",

@@ -13,6 +13,7 @@ from lipreading_video_generation_tpu.pipelines import feature_extraction as fx
 from lipreading_video_generation_tpu.ops import image as im
 
 
+@pytest.mark.slow
 def test_embed_frames_shapes_and_padding():
     model = DenseNet121()
     variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))

@@ -25,6 +25,7 @@ def test_transcript_roundtrip():
     assert le.decode_tokens(le.encode_transcript("a+b=c!", 8)) == "abc"
 
 
+@pytest.mark.slow
 def test_seq2seq_expert_loss_finite_and_differentiable():
     model = train_lip_expert.default_expert(max_text_len=12)
     video = jnp.zeros((2, 5, 88, 88, 1))
@@ -42,6 +43,7 @@ def test_seq2seq_expert_loss_finite_and_differentiable():
     assert float(jnp.abs(grad).max()) > 0
 
 
+@pytest.mark.slow
 def test_expert_training_learns_text_and_rejects_wrong_text():
     """Train briefly to overfit one (window, transcript) pair; CE on the
     true transcript must end up below CE on a wrong transcript — the loss
@@ -65,6 +67,7 @@ def test_expert_training_learns_text_and_rejects_wrong_text():
     assert loss_true < loss_wrong
 
 
+@pytest.mark.slow
 def test_gan_train_step_consumes_transcripts():
     """gan_train_step with text_tokens in the batch runs the text-
     conditioned criterion (train_lipreading.py:130-133 role)."""

@@ -28,6 +28,7 @@ def lrs2_tree(tmp_path_factory):
     return str(root)
 
 
+@pytest.mark.slow
 def test_e2e_lipreading_pipeline(lrs2_tree):
     cfg = config_mod.parse_overrides(Config(), [
         "vivit.hidden_size=32", "vivit.num_layers=1", "vivit.num_heads=4",

@@ -154,6 +154,7 @@ def test_s3fd_head_shapes():
     assert outs[10].shape[-1] == 2 and outs[11].shape[-1] == 4
 
 
+@pytest.mark.slow
 def test_densenet_feature_dim():
     model = M.DenseNet121()
     x = jnp.zeros((2, 48, 48, 3))

@@ -81,6 +81,7 @@ def test_per_device_batch():
         pmesh.per_device_batch(12, spec)
 
 
+@pytest.mark.slow
 def test_gan_step_on_data_parallel_mesh():
     """The GAN two-optimizer step with batch sharded over 8 devices."""
     import jax.numpy as jnp
@@ -122,6 +123,7 @@ def test_tp_matmul_collective():
     np.testing.assert_allclose(np.asarray(y), 64 * 128, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_gan_train_loop_runs_on_mesh(tmp_path):
     """The production train_gan.train loop itself (not just the step) builds
     the mesh, prefetches sharded batches, and replicates the train state —
@@ -140,6 +142,7 @@ def test_gan_train_loop_runs_on_mesh(tmp_path):
     assert len(leaf.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_diffusion_train_loop_runs_on_mesh():
     from lipreading_video_generation_tpu.core.config import DiffusionConfig
     from lipreading_video_generation_tpu.pipelines import train_diffusion

@@ -159,6 +159,7 @@ def test_gan_indiv_mels_offset_semantics():
         np.testing.assert_allclose(got, want, rtol=1e-5, err_msg=f"window {i}")
 
 
+@pytest.mark.slow
 def test_gan_train_step_runs_and_updates():
     state = train_gan.create_state(TINY_GAN, KEY)
     batch = {k: jnp.asarray(v) for k, v in _gan_batch().items()}
@@ -197,6 +198,7 @@ def test_syncnet_train_step():
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_gan_train_loop_gate_and_checkpoint(tmp_path):
     """train() loop: eval interval fires, gate flips when sync loss is low,
     checkpoints are written and resumable."""
@@ -236,6 +238,7 @@ def test_gan_train_loop_gate_and_checkpoint(tmp_path):
     assert any(np.abs(np.asarray(m)).max() > 0 for m in mus)
 
 
+@pytest.mark.slow
 def test_gan_training_reduces_reconstruction_loss():
     """Short GAN run: L1 reconstruction must drop — training-convergence
     smoke (SURVEY.md §4 item (c))."""
@@ -274,6 +277,7 @@ def test_vivit_full_train_loop_on_mesh():
     assert int(state.step) == 2 * (64 // 16)
 
 
+@pytest.mark.slow
 def test_gan_train_step_with_lip_expert():
     cfg = GanConfig(model_width=0.125, lip_weight=0.1)
     state = train_gan.create_state(cfg, KEY)
@@ -295,6 +299,7 @@ def _diff_batch(b=2, rng_seed=0):
     }
 
 
+@pytest.mark.slow
 def test_diffusion_train_step():
     state = train_diffusion.create_state(TINY_DIFF, KEY)
     state, metrics = train_diffusion.train_step(state, _diff_batch(), KEY, TINY_DIFF)
@@ -322,6 +327,7 @@ def test_sampler_deterministic_under_fixed_key():
     assert np.asarray(x1).min() >= 0 and np.asarray(x1).max() <= 1
 
 
+@pytest.mark.slow
 def test_diffusion_train_loop_checkpoint_resume(tmp_path):
     """train() → checkpoint → fresh train() resumes from the saved step."""
     rng = np.random.default_rng(0)
