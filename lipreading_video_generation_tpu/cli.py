@@ -61,9 +61,20 @@ def main(argv: List[str] | None = None) -> int:
     p.add_argument("--synthetic", action="store_true",
                    help="train on synthetic word clips (no dataset needed)")
 
+    p = _base_parser(sub, "pack-gan-records",
+                     "pre-sample GAN training windows into fixed-shape records "
+                     "for the native prefetch loader")
+    p.add_argument("--preprocessed-root", default=None)
+    p.add_argument("--out", required=True)
+    p.add_argument("--num-records", type=int, default=1000)
+    p.add_argument("--synthetic", action="store_true")
+
     p = _base_parser(sub, "train-gan", "train the lip-sync GAN")
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--preprocessed-root", default=None)
+    p.add_argument("--records-root", default=None,
+                   help="packed-record dir (pack-gan-records --out): stream "
+                        "batches through the native C++ prefetch loader")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--synthetic", action="store_true")
 
@@ -177,25 +188,33 @@ def main(argv: List[str] | None = None) -> int:
         print(f"best: {best}")
         return 0
 
-    if args.cmd in ("train-gan", "train-syncnet", "train-lip-expert"):
+    if args.cmd in ("train-gan", "train-syncnet", "train-lip-expert", "pack-gan-records"):
         from .core.metrics import ConsoleWriter, Metrics
         from .data.datasets import GanWindowSampler, load_gan_clip, synthetic_gan_clips
 
         want_text = args.cmd == "train-lip-expert" or cfg.gan.lip_weight > 0
-        if args.synthetic or not getattr(args, "preprocessed_root", None):
-            clips = synthetic_gan_clips(n_clips=8, frames=30, with_text=want_text)
-        else:
-            import os
+        sampler = None
+        if getattr(args, "records_root", None) is None:
+            if args.synthetic or not getattr(args, "preprocessed_root", None):
+                clips = synthetic_gan_clips(n_clips=8, frames=30, with_text=want_text)
+            else:
+                import os
 
-            clips = []
-            for root, dirs, files in os.walk(args.preprocessed_root):
-                if "audio.wav" in files:
-                    clips.append(load_gan_clip(root))
-        sampler = GanWindowSampler(
-            clips, cfg.gan.syncnet_T, seed=cfg.seed,
-            with_text=want_text and any(c.text for c in clips),
-        )
+                clips = []
+                for root, dirs, files in os.walk(args.preprocessed_root):
+                    if "audio.wav" in files:
+                        clips.append(load_gan_clip(root))
+            sampler = GanWindowSampler(
+                clips, cfg.gan.syncnet_T, seed=cfg.seed,
+                with_text=want_text and any(c.text for c in clips),
+            )
         writer = Metrics(ConsoleWriter(every=10))
+        if args.cmd == "pack-gan-records":
+            from .data.records import write_gan_records
+
+            spec = write_gan_records(sampler, args.out, args.num_records)
+            print(f"{args.num_records} records ({spec.record_bytes} B each) → {args.out}")
+            return 0
         if args.cmd == "train-lip-expert":
             import jax
             import jax.numpy as jnp
@@ -220,10 +239,17 @@ def main(argv: List[str] | None = None) -> int:
         if args.cmd == "train-gan":
             from .pipelines import train_gan
 
+            if args.records_root is not None:
+                from .data.records import iter_gan_record_batches
+
+                it = iter_gan_record_batches(args.records_root, cfg.gan.batch_size)
+                batch_fn = lambda: next(it)
+            else:
+                batch_fn = lambda: sampler.sample_batch(cfg.gan.batch_size)
             train_gan.train(
                 cfg.gan,
-                lambda: sampler.sample_batch(cfg.gan.batch_size),
-                eval_batch_fn=lambda: sampler.sample_batch(cfg.gan.batch_size),
+                batch_fn,
+                eval_batch_fn=batch_fn,
                 num_steps=args.steps,
                 seed=cfg.seed,
                 checkpoint_dir=getattr(args, "checkpoint_dir", None),

@@ -1,0 +1,188 @@
+"""Fixed-shape packed training records + the native-loader input path.
+
+The reference feeds GAN training through torch DataLoader worker processes
+that cv2.imread 10 JPEGs and compute a librosa mel per sample on every
+epoch (gan-model/preprocessing/dataset.py:105-164). The TPU-native design
+moves that cost offline once: pre-sampled training windows are packed into
+fixed-shape byte records which the C++ prefetch loader
+(data/native_loader.py, native/prefetch_loader.cpp) streams off the Python
+thread straight into batch tensors — host IO fully overlapped with device
+compute (SURVEY.md §7 hard part #1).
+
+Each record is one training sample with the exact keys
+``pipelines/train_gan.prepare_batch`` consumes (window, wrong_window,
+start_frame, wav[, text_tokens]); mel/resize/mask stay on device, so the
+record path is numerically identical to the online ``GanWindowSampler``.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+SPEC_FILENAME = "records_spec.json"
+
+
+@dataclasses.dataclass(frozen=True)
+class GanRecordSpec:
+    """Byte layout of one packed GAN training sample."""
+
+    syncnet_T: int
+    height: int
+    width: int
+    wav_len: int
+    max_text_len: int = 0  # 0 = no text_tokens section
+
+    @property
+    def window_bytes(self) -> int:
+        return self.syncnet_T * self.height * self.width * 3
+
+    @property
+    def record_bytes(self) -> int:
+        n = 2 * self.window_bytes          # window + wrong_window (uint8)
+        n += 4                             # start_frame (int32)
+        n += 4 * self.wav_len              # wav (float32)
+        n += 4 * self.max_text_len         # text_tokens (int32)
+        return n
+
+    def pack(self, sample: Dict[str, np.ndarray]) -> bytes:
+        parts = [
+            np.ascontiguousarray(sample["window"], np.uint8).tobytes(),
+            np.ascontiguousarray(sample["wrong_window"], np.uint8).tobytes(),
+            np.int32(sample["start_frame"]).tobytes(),
+            np.ascontiguousarray(sample["wav"], np.float32)[: self.wav_len].tobytes(),
+        ]
+        if self.max_text_len:
+            parts.append(np.ascontiguousarray(sample["text_tokens"], np.int32).tobytes())
+        out = b"".join(parts)
+        if len(out) != self.record_bytes:
+            raise ValueError(
+                f"sample does not match spec: got {len(out)} bytes, "
+                f"expected {self.record_bytes}"
+            )
+        return out
+
+    def unpack(self, raw: np.ndarray) -> Dict[str, np.ndarray]:
+        """(record_bytes,) uint8 → sample dict (copies, C-contiguous)."""
+        t, h, w = self.syncnet_T, self.height, self.width
+        o = 0
+        wb = self.window_bytes
+        window = raw[o : o + wb].reshape(t, h, w, 3).copy()
+        o += wb
+        wrong = raw[o : o + wb].reshape(t, h, w, 3).copy()
+        o += wb
+        start = np.frombuffer(raw[o : o + 4].tobytes(), np.int32)[0]
+        o += 4
+        wav = np.frombuffer(raw[o : o + 4 * self.wav_len].tobytes(), np.float32).copy()
+        o += 4 * self.wav_len
+        out = {
+            "window": window,
+            "wrong_window": wrong,
+            "start_frame": start,
+            "wav": wav,
+        }
+        if self.max_text_len:
+            out["text_tokens"] = np.frombuffer(
+                raw[o : o + 4 * self.max_text_len].tobytes(), np.int32
+            ).copy()
+        return out
+
+    def save(self, directory: str) -> None:
+        with open(os.path.join(directory, SPEC_FILENAME), "w") as f:
+            json.dump(dataclasses.asdict(self), f)
+
+    @classmethod
+    def load(cls, directory: str) -> "GanRecordSpec":
+        with open(os.path.join(directory, SPEC_FILENAME)) as f:
+            return cls(**json.load(f))
+
+
+def write_gan_records(
+    sampler,
+    out_dir: str,
+    num_records: int,
+    wav_len: Optional[int] = None,
+) -> GanRecordSpec:
+    """Pre-sample ``num_records`` training windows from a GanWindowSampler
+    and pack them as one file per record (the native loader's unit).
+
+    The offline analog of the reference DataLoader's per-epoch __getitem__
+    work (dataset.py:106-168) — paid once, then streamed at IO speed.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    probe = sampler.sample_batch(1)
+    t, h, w = probe["window"].shape[1:4]
+    wav_len = int(wav_len or probe["wav"].shape[1])
+    spec = GanRecordSpec(
+        syncnet_T=t, height=h, width=w, wav_len=wav_len,
+        max_text_len=probe["text_tokens"].shape[1] if "text_tokens" in probe else 0,
+    )
+    spec.save(out_dir)
+    width_digits = max(6, len(str(num_records)))
+    for i in range(num_records):
+        b = sampler.sample_batch(1)
+        sample = {k: v[0] for k, v in b.items()}
+        if len(sample["wav"]) < wav_len:
+            sample["wav"] = np.pad(sample["wav"], (0, wav_len - len(sample["wav"])))
+        with open(os.path.join(out_dir, f"{i:0{width_digits}d}.rec"), "wb") as f:
+            f.write(spec.pack(sample))
+    return spec
+
+
+def record_paths(records_dir: str) -> Sequence[str]:
+    return sorted(
+        os.path.join(records_dir, f)
+        for f in os.listdir(records_dir)
+        if f.endswith(".rec")
+    )
+
+
+def iter_gan_record_batches(
+    records_dir: str,
+    batch_size: int,
+    loop: bool = True,
+    prefer_native: bool = True,
+    num_threads: int = 2,
+    capacity: int = 16,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Stream packed records as prepare_batch-ready batches.
+
+    Uses the C++ prefetch loader when buildable (IO + unpack off the main
+    thread into a bounded ring buffer); otherwise plain file reads — same
+    batches either way.
+    """
+    from . import native_loader
+
+    spec = GanRecordSpec.load(records_dir)
+    paths = record_paths(records_dir)
+    if not paths:
+        raise ValueError(f"no .rec files under {records_dir!r}")
+    use_native = prefer_native and native_loader.native_available()
+
+    def raw_records() -> Iterator[np.ndarray]:
+        while True:
+            if use_native:
+                with native_loader.NativePrefetchLoader(
+                    paths, (spec.record_bytes,), np.uint8,
+                    capacity=capacity, num_threads=num_threads,
+                ) as ldr:
+                    for _, arr in ldr:
+                        yield arr
+            else:
+                for p in paths:
+                    yield np.fromfile(p, np.uint8)
+            if not loop:
+                return
+
+    buf = []
+    for raw in raw_records():
+        buf.append(spec.unpack(raw))
+        if len(buf) == batch_size:
+            yield {
+                k: np.stack([s[k] for s in buf])
+                for k in buf[0]
+            }
+            buf = []

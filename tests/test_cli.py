@@ -153,6 +153,18 @@ def test_sample_diffusion_from_checkpoint_and_cond_video(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_gan_from_packed_records(tmp_path):
+    """Production input path: pack records → train through the native C++
+    prefetch loader (SURVEY.md §7 hard part #1 feed-overlap machinery)."""
+    recs = str(tmp_path / "recs")
+    rc = cli.main(["pack-gan-records", "--synthetic", "--out", recs,
+                   "--num-records", "8"])
+    assert rc == 0
+    rc = cli.main(["train-gan", "--steps", "2", "--records-root", recs, *GAN_TINY])
+    assert rc == 0
+
+
+@pytest.mark.slow
 def test_train_lip_expert_synthetic(tmp_path, capsys):
     out = str(tmp_path / "expert_ck")
     rc = cli.main(["train-lip-expert", "--steps", "2", "--synthetic",
