@@ -89,9 +89,20 @@ def main(argv: List[str] | None = None) -> int:
     p.add_argument("--preprocessed-root", default=None)
     p.add_argument("--out", default=None, help="save trained expert params here")
 
+    p = _base_parser(sub, "pack-diffusion-records",
+                     "pre-sample diffusion frame pairs into fixed-shape "
+                     "records for the native prefetch loader")
+    p.add_argument("--frame-index", default=None)
+    p.add_argument("--out", required=True)
+    p.add_argument("--num-records", type=int, default=1000)
+    p.add_argument("--synthetic", action="store_true")
+
     p = _base_parser(sub, "train-diffusion", "train the conditional DDPM")
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--frame-index", default=None)
+    p.add_argument("--records-root", default=None,
+                   help="packed-record dir (pack-diffusion-records --out): "
+                        "stream batches through the native C++ prefetch loader")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=500)
     p.add_argument("--synthetic", action="store_true")
@@ -270,29 +281,43 @@ def main(argv: List[str] | None = None) -> int:
                 writer.write(step, m)
         return 0
 
-    if args.cmd == "train-diffusion":
+    if args.cmd in ("train-diffusion", "pack-diffusion-records"):
         from .core.metrics import ConsoleWriter, Metrics
         from .pipelines import train_diffusion
 
-        if args.synthetic or not args.frame_index:
-            rng = np.random.default_rng(cfg.seed)
-            d = cfg.diffusion
+        d = cfg.diffusion
+        if getattr(args, "records_root", None) is not None:
+            from .data.records import iter_record_batches
 
-            def batch_fn():
-                return {
-                    "cond_frame": rng.integers(0, 256, (d.batch_size, d.im_size, d.im_size, 3),
-                                               dtype=np.uint8),
-                    "target_frame": rng.integers(0, 256, (d.batch_size, d.im_size, d.im_size, 3),
-                                                 dtype=np.uint8),
-                    "audio": rng.standard_normal((d.batch_size, d.audio_samples)).astype(np.float32),
-                }
+            it = iter_record_batches(args.records_root, d.batch_size)
+            batch_fn = lambda: next(it)
+        elif args.synthetic or not args.frame_index:
+            rng = np.random.default_rng(cfg.seed)
+
+            class _SyntheticPairSampler:
+                def sample_batch(self, n):
+                    return {
+                        "cond_frame": rng.integers(0, 256, (n, d.im_size, d.im_size, 3),
+                                                   dtype=np.uint8),
+                        "target_frame": rng.integers(0, 256, (n, d.im_size, d.im_size, 3),
+                                                     dtype=np.uint8),
+                        "audio": rng.standard_normal((n, d.audio_samples)).astype(np.float32),
+                    }
+
+            sampler = _SyntheticPairSampler()
+            batch_fn = lambda: sampler.sample_batch(d.batch_size)
         else:
             from .data.datasets import DiffusionPairSampler, load_frame_index
 
             items = load_frame_index(args.frame_index)
-            sampler = DiffusionPairSampler(items, cfg.diffusion.audio_samples,
-                                           cfg.diffusion.buffer_frames)
-            batch_fn = lambda: sampler.sample_batch(cfg.diffusion.batch_size)
+            sampler = DiffusionPairSampler(items, d.audio_samples, d.buffer_frames)
+            batch_fn = lambda: sampler.sample_batch(d.batch_size)
+        if args.cmd == "pack-diffusion-records":
+            from .data.records import write_diffusion_records
+
+            spec = write_diffusion_records(sampler, args.out, args.num_records, d.im_size)
+            print(f"{args.num_records} records ({spec.record_bytes} B each) → {args.out}")
+            return 0
         train_diffusion.train(
             cfg.diffusion, batch_fn, num_steps=args.steps, seed=cfg.seed,
             checkpoint_dir=args.checkpoint_dir,

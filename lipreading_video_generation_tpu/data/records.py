@@ -100,6 +100,60 @@ class GanRecordSpec:
             return cls(**json.load(f))
 
 
+@dataclasses.dataclass(frozen=True)
+class TensorRecordSpec:
+    """Generic fixed-shape record: an ordered tuple of named tensors
+    ``(name, shape, dtype)``, packed back-to-back in C order."""
+
+    fields: tuple  # ((name, (dims...), dtype-str), ...)
+
+    def _field_bytes(self, shape, dtype) -> int:
+        return int(np.prod(shape, dtype=np.int64)) * np.dtype(dtype).itemsize
+
+    @property
+    def record_bytes(self) -> int:
+        return sum(self._field_bytes(s, d) for _, s, d in self.fields)
+
+    def pack(self, sample: Dict[str, np.ndarray]) -> bytes:
+        parts = []
+        for name, shape, dtype in self.fields:
+            a = np.ascontiguousarray(sample[name], dtype)
+            if a.shape != tuple(shape):
+                raise ValueError(f"{name}: shape {a.shape} != spec {tuple(shape)}")
+            parts.append(a.tobytes())
+        return b"".join(parts)
+
+    def unpack(self, raw: np.ndarray) -> Dict[str, np.ndarray]:
+        out, o = {}, 0
+        for name, shape, dtype in self.fields:
+            n = self._field_bytes(shape, dtype)
+            out[name] = np.frombuffer(
+                raw[o : o + n].tobytes(), dtype
+            ).reshape(tuple(shape)).copy()
+            o += n
+        return out
+
+    def save(self, directory: str) -> None:
+        with open(os.path.join(directory, SPEC_FILENAME), "w") as f:
+            json.dump({"kind": "tensor", "fields": list(self.fields)}, f)
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "TensorRecordSpec":
+        return cls(fields=tuple(
+            (name, tuple(shape), dtype) for name, shape, dtype in obj["fields"]
+        ))
+
+
+def load_spec(directory: str):
+    """Read ``records_spec.json`` and dispatch on its ``kind`` field
+    (absent → the original GAN layout)."""
+    with open(os.path.join(directory, SPEC_FILENAME)) as f:
+        obj = json.load(f)
+    if obj.get("kind") == "tensor":
+        return TensorRecordSpec.from_json(obj)
+    return GanRecordSpec(**obj)
+
+
 def write_gan_records(
     sampler,
     out_dir: str,
@@ -140,7 +194,7 @@ def record_paths(records_dir: str) -> Sequence[str]:
     )
 
 
-def iter_gan_record_batches(
+def iter_record_batches(
     records_dir: str,
     batch_size: int,
     loop: bool = True,
@@ -148,7 +202,7 @@ def iter_gan_record_batches(
     num_threads: int = 2,
     capacity: int = 16,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Stream packed records as prepare_batch-ready batches.
+    """Stream packed records (any spec kind) as prepare_batch-ready batches.
 
     Uses the C++ prefetch loader when buildable (IO + unpack off the main
     thread into a bounded ring buffer); otherwise plain file reads — same
@@ -156,7 +210,7 @@ def iter_gan_record_batches(
     """
     from . import native_loader
 
-    spec = GanRecordSpec.load(records_dir)
+    spec = load_spec(records_dir)
     paths = record_paths(records_dir)
     if not paths:
         raise ValueError(f"no .rec files under {records_dir!r}")
@@ -186,3 +240,48 @@ def iter_gan_record_batches(
                 for k in buf[0]
             }
             buf = []
+
+
+iter_gan_record_batches = iter_record_batches
+
+
+def diffusion_record_spec(im_size: int, audio_samples: int) -> TensorRecordSpec:
+    """One DiffusionPairSampler sample (cond frame, target frame, audio
+    slice — dataset.py:105-130 semantics) at the train resolution."""
+    return TensorRecordSpec(fields=(
+        ("cond_frame", (im_size, im_size, 3), "uint8"),
+        ("target_frame", (im_size, im_size, 3), "uint8"),
+        ("audio", (audio_samples,), "float32"),
+    ))
+
+
+def write_diffusion_records(
+    sampler,
+    out_dir: str,
+    num_records: int,
+    im_size: int,
+) -> TensorRecordSpec:
+    """Pre-sample diffusion frame pairs, resized to ``im_size`` with the
+    SAME bilinear op the jitted train step uses (ops/image.resize keeps
+    uint8, and same-size resize is identity) — so record batches are
+    numerically identical to the online sampler path, minus the per-step
+    host video decode the reference pays (video-generation/dataset.py)."""
+    import jax
+
+    from ..ops import image as image_ops
+
+    os.makedirs(out_dir, exist_ok=True)
+    probe = sampler.sample_batch(1)
+    spec = diffusion_record_spec(im_size, probe["audio"].shape[1])
+    spec.save(out_dir)
+    cpu = jax.devices("cpu")[0]
+    width_digits = max(6, len(str(num_records)))
+    for i in range(num_records):
+        b = sampler.sample_batch(1)
+        with jax.default_device(cpu):
+            cond = np.asarray(image_ops.resize(b["cond_frame"][0], (im_size, im_size)))
+            tgt = np.asarray(image_ops.resize(b["target_frame"][0], (im_size, im_size)))
+        sample = {"cond_frame": cond, "target_frame": tgt, "audio": b["audio"][0]}
+        with open(os.path.join(out_dir, f"{i:0{width_digits}d}.rec"), "wb") as f:
+            f.write(spec.pack(sample))
+    return spec

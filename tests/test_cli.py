@@ -172,3 +172,16 @@ def test_train_lip_expert_synthetic(tmp_path, capsys):
     assert rc == 0
     assert os.path.exists(out)
     assert "saved expert" in capsys.readouterr().out
+
+
+@pytest.mark.slow
+def test_train_diffusion_from_packed_records(tmp_path):
+    """Diffusion analog of the packed-record feed: pack → stream through
+    the prefetch loader into the jitted train step."""
+    recs = str(tmp_path / "drecs")
+    rc = cli.main(["pack-diffusion-records", "--synthetic", "--out", recs,
+                   "--num-records", "6", *DIFF_TINY])
+    assert rc == 0
+    rc = cli.main(["train-diffusion", "--steps", "2", "--records-root", recs,
+                   *DIFF_TINY])
+    assert rc == 0

@@ -83,3 +83,95 @@ def test_cli_pack_gan_records(tmp_path, capsys):
     assert len(rec.record_paths(out)) == 4
     spec = rec.GanRecordSpec.load(out)
     assert spec.syncnet_T == 5
+
+
+def test_tensor_spec_roundtrip():
+    spec = rec.diffusion_record_spec(im_size=16, audio_samples=100)
+    rng = np.random.default_rng(0)
+    sample = {
+        "cond_frame": rng.integers(0, 256, (16, 16, 3), dtype=np.uint8),
+        "target_frame": rng.integers(0, 256, (16, 16, 3), dtype=np.uint8),
+        "audio": rng.standard_normal(100).astype(np.float32),
+    }
+    raw = np.frombuffer(spec.pack(sample), np.uint8)
+    assert raw.size == spec.record_bytes
+    out = spec.unpack(raw)
+    for k in sample:
+        np.testing.assert_array_equal(out[k], sample[k], err_msg=k)
+
+
+def test_tensor_spec_shape_mismatch_raises():
+    spec = rec.diffusion_record_spec(im_size=16, audio_samples=100)
+    bad = {
+        "cond_frame": np.zeros((8, 8, 3), np.uint8),
+        "target_frame": np.zeros((16, 16, 3), np.uint8),
+        "audio": np.zeros(100, np.float32),
+    }
+    with pytest.raises(ValueError):
+        spec.pack(bad)
+
+
+class _FakePairSampler:
+    """Native-res diffusion pair sampler (frames bigger than im_size, like
+    real videos) for exercising the pack-time resize."""
+
+    def __init__(self, seed=0, res=24):
+        self.rng = np.random.default_rng(seed)
+        self.res = res
+
+    def sample_batch(self, n):
+        return {
+            "cond_frame": self.rng.integers(0, 256, (n, self.res, self.res, 3),
+                                            dtype=np.uint8),
+            "target_frame": self.rng.integers(0, 256, (n, self.res, self.res, 3),
+                                              dtype=np.uint8),
+            "audio": self.rng.standard_normal((n, 80)).astype(np.float32),
+        }
+
+
+@pytest.mark.parametrize("prefer_native", [True, False])
+def test_diffusion_record_batches(tmp_path, prefer_native):
+    d = str(tmp_path / "drecs")
+    spec = rec.write_diffusion_records(_FakePairSampler(), d, num_records=4, im_size=16)
+    assert isinstance(rec.load_spec(d), rec.TensorRecordSpec)
+    it = rec.iter_record_batches(d, batch_size=2, loop=False,
+                                 prefer_native=prefer_native)
+    n = 0
+    for batch in it:
+        assert batch["cond_frame"].shape == (2, 16, 16, 3)
+        assert batch["cond_frame"].dtype == np.uint8
+        assert batch["audio"].shape == (2, 80)
+        assert batch["audio"].dtype == np.float32
+        n += batch["cond_frame"].shape[0]
+    assert n == 4
+
+
+def test_diffusion_records_match_online_resize(tmp_path):
+    """Pack-time resize must equal the train step's device resize so the
+    record path is numerically identical to the online sampler."""
+    from lipreading_video_generation_tpu.ops import image as image_ops
+
+    s = _FakePairSampler(seed=3)
+    d = str(tmp_path / "drecs")
+    rec.write_diffusion_records(s, d, num_records=1, im_size=16)
+    # regenerate the same sample the writer consumed (fresh rng, same seed:
+    # probe batch + 1 record = second batch)
+    s2 = _FakePairSampler(seed=3)
+    s2.sample_batch(1)  # the writer's probe
+    b = s2.sample_batch(1)
+    want = np.asarray(image_ops.resize(b["cond_frame"][0], (16, 16)))
+    got = rec.load_spec(d).unpack(np.fromfile(rec.record_paths(d)[0], np.uint8))
+    np.testing.assert_array_equal(got["cond_frame"], want)
+
+
+def test_cli_pack_diffusion_records(tmp_path, capsys):
+    from lipreading_video_generation_tpu import cli
+
+    out = str(tmp_path / "drecs")
+    code = cli.main(["pack-diffusion-records", "--synthetic", "--out", out,
+                     "--num-records", "3",
+                     "--set", "diffusion.im_size=16",
+                     "--set", "diffusion.audio_samples=200"])
+    assert code == 0
+    assert "3 records" in capsys.readouterr().out
+    assert len(rec.record_paths(out)) == 3
