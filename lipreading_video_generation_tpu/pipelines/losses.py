@@ -114,3 +114,41 @@ def psnr(a: jax.Array, b: jax.Array, max_val: float = 1.0) -> jax.Array:
     (BASELINE.md north star)."""
     mse = jnp.mean((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2)
     return 10.0 * jnp.log10(max_val**2 / jnp.maximum(mse, 1e-12))
+
+
+def ssim(a: jax.Array, b: jax.Array, max_val: float = 1.0) -> jax.Array:
+    """Mean structural similarity (Wang et al. 2004 defaults: 11×11
+    Gaussian window σ=1.5, K1=0.01, K2=0.03) over (..., H, W, C) images.
+    Local moments via two separable 1-D depthwise convolutions — MXU/VPU
+    friendly, no patch extraction."""
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    shape = a.shape
+    a = a.reshape((-1,) + shape[-3:])
+    b = b.reshape((-1,) + shape[-3:])
+
+    r = jnp.arange(11, dtype=jnp.float32) - 5.0
+    w = jnp.exp(-(r**2) / (2.0 * 1.5**2))
+    w = w / jnp.sum(w)
+
+    def blur(x):
+        # separable Gaussian, VALID so every window is fully supported
+        c = x.shape[-1]
+        kh = jnp.tile(w[:, None, None, None], (1, 1, 1, c))   # (11,1,1,C)
+        kw = jnp.tile(w[None, :, None, None], (1, 1, 1, c))   # (1,11,1,C)
+        dn = ("NHWC", "HWIO", "NHWC")
+        x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID",
+                                         dimension_numbers=dn, feature_group_count=c)
+        return jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID",
+                                            dimension_numbers=dn, feature_group_count=c)
+
+    mu_a, mu_b = blur(a), blur(b)
+    var_a = blur(a * a) - mu_a**2
+    var_b = blur(b * b) - mu_b**2
+    cov = blur(a * b) - mu_a * mu_b
+    c1 = (0.01 * max_val) ** 2
+    c2 = (0.03 * max_val) ** 2
+    s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
+        (mu_a**2 + mu_b**2 + c1) * (var_a + var_b + c2)
+    )
+    return jnp.mean(s)

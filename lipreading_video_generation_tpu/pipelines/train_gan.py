@@ -251,6 +251,7 @@ def gan_eval_step(
         "eval/sync_loss": sync,
         "eval/l1": losses.l1(g, prep["gt"]),
         "eval/psnr": losses.psnr(g, prep["gt"]),
+        "eval/ssim": losses.ssim(g, prep["gt"]),
     }
 
 

@@ -82,6 +82,43 @@ def test_psnr_identical_images():
     assert float(losses.psnr(a, a)) > 100
 
 
+def test_ssim_matches_direct_windowed_formula():
+    """losses.ssim (separable-conv moments) vs a literal sliding-window
+    numpy evaluation of Wang et al. 2004."""
+    rng = np.random.default_rng(0)
+    a = rng.random((1, 16, 16, 1)).astype(np.float32)
+    b = np.clip(a + 0.1 * rng.standard_normal(a.shape).astype(np.float32), 0, 1)
+
+    r = np.arange(11) - 5.0
+    w1 = np.exp(-(r**2) / (2 * 1.5**2))
+    w1 /= w1.sum()
+    w2 = np.outer(w1, w1)
+    c1, c2 = 0.01**2, 0.03**2
+    vals = []
+    for i in range(16 - 10):
+        for j in range(16 - 10):
+            pa = a[0, i:i + 11, j:j + 11, 0]
+            pb = b[0, i:i + 11, j:j + 11, 0]
+            mu_a, mu_b = (w2 * pa).sum(), (w2 * pb).sum()
+            va = (w2 * pa * pa).sum() - mu_a**2
+            vb = (w2 * pb * pb).sum() - mu_b**2
+            cov = (w2 * pa * pb).sum() - mu_a * mu_b
+            vals.append(((2 * mu_a * mu_b + c1) * (2 * cov + c2))
+                        / ((mu_a**2 + mu_b**2 + c1) * (va + vb + c2)))
+    want = np.mean(vals)
+    got = float(losses.ssim(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_ssim_bounds_and_ordering():
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.random((2, 3, 24, 24, 3)).astype(np.float32))  # video-shaped
+    assert float(losses.ssim(a, a)) == pytest.approx(1.0, abs=1e-5)
+    small = a + 0.02 * jnp.asarray(rng.standard_normal(a.shape).astype(np.float32))
+    big = a + 0.3 * jnp.asarray(rng.standard_normal(a.shape).astype(np.float32))
+    assert float(losses.ssim(a, big)) < float(losses.ssim(a, small)) < 1.0
+
+
 # --- ViViT training --------------------------------------------------------
 
 def _vivit_cfg(n=4):
@@ -187,7 +224,7 @@ def test_gan_eval_step_metrics():
     state = train_gan.create_state(TINY_GAN, KEY)
     batch = {k: jnp.asarray(v) for k, v in _gan_batch().items()}
     m = train_gan.gan_eval_step(state, batch, TINY_GAN)
-    assert set(m) == {"eval/sync_loss", "eval/l1", "eval/psnr"}
+    assert set(m) == {"eval/sync_loss", "eval/l1", "eval/psnr", "eval/ssim"}
     assert np.isfinite(float(m["eval/psnr"]))
 
 
