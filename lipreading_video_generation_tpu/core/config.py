@@ -100,12 +100,16 @@ class DiffusionConfig:
     beta_start: float = 5e-5    # test.py:111 LinearNoiseSchedulerV2(500, 5e-5, 0.015)
     beta_end: float = 0.015
     scheduler: str = "linear"   # linear | linear_v2 | cosine
-    # U-Net (train.py:88-97)
+    # U-Net — the as-trained reference model: train.py:87-97 sets
+    # image_size/model_channels/num_res_blocks/attention_resolutions and
+    # leaves the rest at unet_audio.py:34-37's defaults
+    # (channel_mult=(1,2,4), num_heads=1, dropout=0.1).
     base_channels: int = 64
-    channel_mult: Tuple[int, ...] = (1, 2, 4, 8)
+    channel_mult: Tuple[int, ...] = (1, 2, 4)
     num_res_blocks: int = 2
     attention_resolutions: Tuple[int, ...] = (1, 2, 4)  # downsample factors with attention
-    num_heads: int = 4
+    num_heads: int = 1
+    dropout: float = 0.1
     time_embed_dim: int = 256
     # conditioning (unet_audio.py:39-66)
     audio_embed_dim: int = 768   # wav2vec2-base hidden size analog
@@ -118,6 +122,11 @@ class DiffusionConfig:
     learning_rate: float = 1e-4  # the reference's 1e-2 (train.py:102) diverges; 1e-4 is the sane default
     num_epochs: int = 10
     dtype: str = "bfloat16"
+    # ResBlock rematerialization (the reference's checkpoint autograd hack,
+    # video-generation/diffusion/utils.py:161-207). With the Pallas flash
+    # backward the activations fit HBM at the reference config, so recompute
+    # is pure overhead — off by default; flip on for configs that OOM.
+    remat: bool = False
 
 
 @dataclass(frozen=True)

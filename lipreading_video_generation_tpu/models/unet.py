@@ -51,7 +51,12 @@ zero_init = nn.initializers.zeros
 
 class ResBlock(nn.Module):
     """GroupNorm→SiLU→conv ×2 with scale-shift time conditioning and a
-    learned skip when channels change (unet.py:155-269)."""
+    learned skip when channels change (unet.py:155-269).
+
+    The reference's as-trained config leaves use_scale_shift_norm=False
+    (additive emb, unet_audio.py:37); this implementation standardizes on
+    the scale-shift path (unet.py:232-252) — guided-diffusion's
+    recommended setting, same parameter count."""
 
     out_channels: int
     dropout: float = 0.0

@@ -41,7 +41,9 @@ class UNetAudio(nn.Module):
             attention_resolutions=c.attention_resolutions,
             num_heads=c.num_heads,
             time_embed_dim=c.time_embed_dim,
+            dropout=c.dropout,
             dtype=dtype,
+            remat=c.remat,
         )
 
     def encode_condition(
