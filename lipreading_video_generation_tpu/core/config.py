@@ -96,8 +96,12 @@ class DiffusionConfig:
 
     im_size: int = 128
     im_channels: int = 3
+    # The reference trains with LinearNoiseScheduler(100, 0.00085, 0.012)
+    # (train.py:47-51) but samples with LinearNoiseSchedulerV2(500, 5e-5,
+    # 0.015) (test.py:111) — a train/test mismatch on top of the t-range
+    # bug. One schedule is used for both here; defaults follow test.py.
     num_timesteps: int = 500
-    beta_start: float = 5e-5    # test.py:111 LinearNoiseSchedulerV2(500, 5e-5, 0.015)
+    beta_start: float = 5e-5
     beta_end: float = 0.015
     scheduler: str = "linear"   # linear | linear_v2 | cosine
     # U-Net — the as-trained reference model: train.py:87-97 sets

@@ -62,6 +62,8 @@ class UNetAudio(nn.Module):
             a[:, None, None, :], (a.shape[0], c.im_size, c.im_size, a.shape[-1])
         )
         b, h, w, ch = cond_image.shape
+        # bilinear (the reference's F.interpolate defaults to nearest,
+        # unet_audio.py:59 — intentional quality upgrade, no weights to port)
         img = jax.image.resize(
             cond_image.astype(jnp.float32), (b, c.im_size, c.im_size, ch), "bilinear"
         )
