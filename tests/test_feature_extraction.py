@@ -41,6 +41,7 @@ def test_feature_transformer_trains_on_separable_features():
     assert val["accuracy"] > 0.5
 
 
+@pytest.mark.slow
 def test_face_alignment_api_contract():
     fa = FaceAlignment()
     imgs = np.random.default_rng(0).integers(0, 256, (2, 64, 64, 3), dtype=np.uint8)

@@ -39,6 +39,7 @@ def test_e2e_lipreading_pipeline(lrs2_tree):
     assert 0.0 <= stats["sentence_accuracy"] <= 1.0
 
 
+@pytest.mark.slow
 def test_build_word_clip_dataset(lrs2_tree):
     from lipreading_video_generation_tpu.data.manifest import build_manifest
 

@@ -37,6 +37,7 @@ def test_feature_transformer():
     assert out.shape == (3, 7)
 
 
+@pytest.mark.slow
 def test_generator_forward_windowed():
     model = M.TalkingFaceGenerator(width=0.125)
     mel = jnp.zeros((2, 5, 80, 16, 1))
@@ -67,6 +68,7 @@ def test_discriminator_forward():
     assert (o >= 0).all() and (o <= 1).all()
 
 
+@pytest.mark.slow
 def test_syncnet_embeddings():
     model = M.SyncNet(width=0.125)
     mel = jax.random.normal(KEY, (2, 80, 16, 1))

@@ -45,6 +45,7 @@ def test_s3fd_state_dict_roundtrip():
         np.testing.assert_array_equal(flat_a[k], flat_b[k], err_msg=k)
 
 
+@pytest.mark.slow
 def test_densenet_state_dict_roundtrip():
     model = dn.DenseNet121()
     variables = model.init(jax.random.key(0), np.zeros((1, 32, 32, 3), np.float32))
