@@ -130,6 +130,12 @@ def main(argv: List[str] | None = None) -> int:
                         "(reference test.py:131-148 picks a dataset item)")
     p.add_argument("--cond-audio", default=None,
                    help="wav for conditioning (defaults to the video's audio)")
+    p.add_argument("--frames", type=int, default=1,
+                   help=">1: generate a clip — all frames denoise as one "
+                        "batched trajectory (sliding per-frame audio "
+                        "windows); .mp4/.avi --out is written as video")
+    p.add_argument("--fps", type=float, default=25.0,
+                   help="output fps when no --cond-video supplies one")
     p.add_argument("--out", required=True)
 
     p = _base_parser(sub, "infer-lipsync", "lip-sync a video to an audio track")
@@ -360,11 +366,39 @@ def main(argv: List[str] | None = None) -> int:
                 args.checkpoint, d, jax.random.key(cfg.seed), use_ema=not args.no_ema
             )
             state = state.replace(params=params)
+        fps = args.fps
+        if args.frames > 1:
+            # whole-clip generation: one batched trajectory over sliding
+            # per-frame audio windows (sample_diffusion.sample_video)
+            from .data import video as video_io
+            from .data.datasets import condition_windows_from_video
+
+            if args.cond_video:
+                cond_np, windows_np, fps = condition_windows_from_video(
+                    args.cond_video, d, args.frames, audio_path=args.cond_audio
+                )
+            else:
+                rng = np.random.default_rng(cfg.seed)
+                cond_np = rng.integers(0, 256, (d.im_size, d.im_size, 3), dtype=np.uint8)
+                windows_np = rng.standard_normal(
+                    (args.frames, d.audio_samples)).astype(np.float32)
+            clip = np.asarray(sample_diffusion.sample_video(
+                state, jnp.asarray(cond_np), jnp.asarray(windows_np),
+                jax.random.key(cfg.seed), d,
+            ))
+            if args.out.endswith((".mp4", ".avi")):
+                video_io.write_video(args.out, clip, fps=fps)
+            else:
+                import cv2
+
+                for j, f in enumerate(clip):
+                    cv2.imwrite(f"{args.out}.{j:04d}.png", f[:, :, ::-1])
+            print(f"wrote {args.frames}-frame clip → {args.out}")
+            return 0
         if args.cond_video:
             # condition on a real clip: first frame + the audio window just
             # before it (dataset.py:28-41 buffer_frames semantics; test.py
             # :131-148 picks a dataset item the same way)
-            from .data import video as video_io
             from .data.datasets import condition_from_video
 
             cond_np, audio_np = condition_from_video(

@@ -260,30 +260,58 @@ def condition_from_video(
     frames, fps = read_video_frames(video_path)
     cond = frames[0]
     target_idx = min(frame_step, len(frames) - 1)
-    sr = 16000
-    wav = None
-    if audio_path is not None:
-        wav = load_wav(audio_path, sr)
-    else:
-        sidecar = os.path.splitext(video_path)[0] + ".wav"
-        if os.path.exists(sidecar):
-            wav = load_wav(sidecar, sr)
-        else:
-            from .video import extract_audio
+    wav = _clip_audio(video_path, audio_path)
+    sl = _audio_window(wav, target_idx, fps, cfg)
+    return cond, sl
 
-            tmp = video_path + ".cond.wav"
-            if extract_audio(video_path, tmp, sr):
-                wav = load_wav(tmp, sr)
-                os.remove(tmp)
-    if wav is None:
-        raise ValueError(
-            f"no audio for {video_path!r}: pass --cond-audio, add a sidecar "
-            ".wav, or install ffmpeg"
-        )
+
+def _clip_audio(video_path: str, audio_path: Optional[str] = None,
+                sr: int = 16000) -> np.ndarray:
+    """Full waveform for a clip: explicit wav, sidecar wav, or ffmpeg
+    extraction — the reference's preprocess_audio path (inference.py:219-224)."""
+    if audio_path is not None:
+        return load_wav(audio_path, sr)
+    sidecar = os.path.splitext(video_path)[0] + ".wav"
+    if os.path.exists(sidecar):
+        return load_wav(sidecar, sr)
+    from .video import extract_audio
+
+    tmp = video_path + ".cond.wav"
+    if extract_audio(video_path, tmp, sr):
+        wav = load_wav(tmp, sr)
+        os.remove(tmp)
+        return wav
+    raise ValueError(
+        f"no audio for {video_path!r}: pass --cond-audio, add a sidecar "
+        ".wav, or install ffmpeg"
+    )
+
+
+def _audio_window(wav: np.ndarray, target_idx: int, fps: float, cfg,
+                  sr: int = 16000) -> np.ndarray:
+    """The ``buffer_frames``-before-target audio slice, padded to
+    ``audio_samples`` (dataset.py:51-66 semantics)."""
     start = int(max(0.0, (target_idx - cfg.buffer_frames) / fps) * sr)
     sl = wav[start : start + cfg.audio_samples]
-    sl = np.pad(sl, (0, cfg.audio_samples - len(sl)))
-    return cond, sl.astype(np.float32)
+    return np.pad(sl, (0, cfg.audio_samples - len(sl))).astype(np.float32)
+
+
+def condition_windows_from_video(
+    video_path: str,
+    cfg,
+    n_frames: int,
+    audio_path: Optional[str] = None,
+) -> Tuple[np.ndarray, np.ndarray, float]:
+    """(cond frame uint8, per-frame audio windows (n_frames, audio_samples),
+    fps) for whole-clip generation: the clip's first frame conditions every
+    target frame (the DiffusionPairSampler pairing, dataset.py:105-130) and
+    window j is the slice for target frame j — so ``sample_video`` denoises
+    the clip's first ``n_frames`` frames in one batched trajectory."""
+    frames, fps = read_video_frames(video_path)
+    cond = frames[0]
+    wav = _clip_audio(video_path, audio_path)
+    windows = np.stack([_audio_window(wav, j, fps, cfg) for j in range(n_frames)])
+    return cond, windows, fps
 
 
 def load_full_video_sample(

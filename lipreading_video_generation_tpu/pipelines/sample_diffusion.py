@@ -103,3 +103,30 @@ def sample(
     final = (jnp.clip(xt, -1.0, 1.0) + 1.0) / 2.0
     snapshots = (jnp.clip(snapshots, -1.0, 1.0) + 1.0) / 2.0
     return final, snapshots
+
+
+def sample_video(
+    state: DiffusionTrainState,
+    cond_frame_uint8: jax.Array,   # (h, w, 3) uint8 — one condition frame
+    audio_windows: jax.Array,      # (T, samples) per-target-frame slices
+    key: jax.Array,
+    cfg: DiffusionConfig,
+    use_ema: bool = False,
+    segment_size: int = 50,
+) -> jax.Array:
+    """Generate a T-frame clip: (T, im_size, im_size, 3) uint8.
+
+    Frames are conditionally independent given the (first-frame, audio
+    window) pairs the model was trained on (dataset.py:105-130), so the
+    whole clip denoises as ONE batched trajectory — one ``sample`` call at
+    batch=T instead of T sequential 500-step loops (the reference's
+    test.py:51-83 samples a single frame per full loop). Per-frame xt is
+    seeded independently by the batched normal draw."""
+    t = audio_windows.shape[0]
+    cond = jnp.broadcast_to(cond_frame_uint8[None], (t,) + tuple(cond_frame_uint8.shape))
+    x0, _ = sample(
+        state, cond, audio_windows, key, cfg,
+        snapshot_every=cfg.num_timesteps + 1,   # no snapshots needed
+        use_ema=use_ema, segment_size=segment_size,
+    )
+    return image_ops.denormalize_to_uint8(x0)  # x0 already in [0,1]

@@ -185,3 +185,22 @@ def test_train_diffusion_from_packed_records(tmp_path):
     rc = cli.main(["train-diffusion", "--steps", "2", "--records-root", recs,
                    *DIFF_TINY])
     assert rc == 0
+
+
+@pytest.mark.slow
+def test_sample_diffusion_video_generation(tmp_path):
+    """--frames N: whole-clip generation as one batched trajectory, written
+    as a video with per-frame sliding audio windows from the real clip."""
+    import cv2
+
+    face = _face_video(tmp_path, frames=10, size=32)
+    wav = _speech_wav(tmp_path, seconds=0.6)
+    out = str(tmp_path / "gen.mp4")
+    rc = cli.main(["sample-diffusion", "--out", out, "--frames", "3",
+                   "--cond-video", face, "--cond-audio", wav, *DIFF_TINY])
+    assert rc == 0 and os.path.exists(out)
+    cap = cv2.VideoCapture(out)
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    cap.release()
+    assert (n, w) == (3, 16)

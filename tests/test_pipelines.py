@@ -418,3 +418,17 @@ def test_sampler_key_sensitivity():
     x2, _ = sample_diffusion.sample(state, b["cond_frame"], b["audio"], jax.random.key(1),
                                     TINY_DIFF)
     assert not np.allclose(np.asarray(x1), np.asarray(x2))
+
+
+def test_sample_video_batched_trajectory():
+    """sample_video: (h,w,3) cond + (T,samples) windows → (T,im,im,3) uint8
+    clip; different audio windows must give different frames."""
+    state = train_diffusion.create_state(TINY_DIFF, KEY)
+    rng = np.random.default_rng(0)
+    cond = jnp.asarray(rng.integers(0, 256, (20, 20, 3), dtype=np.uint8))
+    windows = jnp.asarray(rng.standard_normal((3, 800)).astype(np.float32))
+    clip = sample_diffusion.sample_video(state, cond, windows, KEY, TINY_DIFF,
+                                         segment_size=5)
+    assert clip.shape == (3, 16, 16, 3) and clip.dtype == jnp.uint8
+    c = np.asarray(clip)
+    assert np.any(c[0] != c[1]) and np.any(c[1] != c[2])
