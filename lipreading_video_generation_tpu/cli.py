@@ -40,6 +40,27 @@ def build_config(args):
     return parse_overrides(cfg, args.overrides)
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache for every CLI entrypoint.
+
+    Remote/TPU compiles take minutes; without this each CLI invocation
+    re-pays them. Honors JAX_COMPILATION_CACHE_DIR if the user set one;
+    defaults to ~/.cache/lvg-tpu/jax."""
+    import os
+
+    import jax
+
+    if getattr(jax.config, "jax_compilation_cache_dir", None):
+        return  # already configured (test conftest / bench harness)
+    path = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "lvg-tpu", "jax"),
+    )
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main(argv: List[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="lvg-tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -76,11 +97,28 @@ def main(argv: List[str] | None = None) -> int:
                    help="packed-record dir (pack-gan-records --out): stream "
                         "batches through the native C++ prefetch loader")
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--syncnet-checkpoint", default=None,
+                   help="pretrained frozen sync expert (train-syncnet --out) "
+                        "— the reference's lipsync_expert.pth role")
+    p.add_argument("--synthetic", action="store_true")
+
+    p = _base_parser(sub, "eval-gan",
+                     "PSNR/SSIM/L1/sync metrics of a trained generator over "
+                     "a dataset")
+    p.add_argument("--checkpoint", required=True,
+                   help="train-gan checkpoint dir or save_once path")
+    p.add_argument("--syncnet-checkpoint", default=None)
+    p.add_argument("--preprocessed-root", default=None)
+    p.add_argument("--batches", type=int, default=8)
     p.add_argument("--synthetic", action="store_true")
 
     p = _base_parser(sub, "train-syncnet", "pretrain the SyncNet expert")
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--out", default=None,
+                   help="save trained expert params here (the in-framework "
+                        "lipsync_expert.pth: feed to train-gan/eval-gan "
+                        "--syncnet-checkpoint)")
 
     p = _base_parser(sub, "train-lip-expert",
                      "pretrain the text-conditioned lipreading expert (char seq2seq)")
@@ -160,6 +198,7 @@ def main(argv: List[str] | None = None) -> int:
         cfg = build_config(args)
     except ValueError as e:
         parser.error(str(e))
+    _enable_compile_cache()
 
     if args.cmd == "preprocess-gan":
         import jax
@@ -205,7 +244,8 @@ def main(argv: List[str] | None = None) -> int:
         print(f"best: {best}")
         return 0
 
-    if args.cmd in ("train-gan", "train-syncnet", "train-lip-expert", "pack-gan-records"):
+    if args.cmd in ("train-gan", "train-syncnet", "train-lip-expert",
+                    "pack-gan-records", "eval-gan"):
         from .core.metrics import ConsoleWriter, Metrics
         from .data.datasets import GanWindowSampler, load_gan_clip, synthetic_gan_clips
 
@@ -231,6 +271,34 @@ def main(argv: List[str] | None = None) -> int:
 
             spec = write_gan_records(sampler, args.out, args.num_records)
             print(f"{args.num_records} records ({spec.record_bytes} B each) → {args.out}")
+            return 0
+        if args.cmd == "eval-gan":
+            import jax
+            import jax.numpy as jnp
+
+            from .pipelines import train_gan, train_syncnet
+
+            key = jax.random.key(cfg.seed)
+            state = train_gan.create_state(cfg.gan, key)
+            state = state.replace(
+                gen_params=train_gan.load_generator_params(args.checkpoint, cfg.gan, key)
+            )
+            if args.syncnet_checkpoint:
+                state = state.replace(syncnet_params=train_syncnet.load_params(
+                    args.syncnet_checkpoint, cfg.gan, key))
+            sums, n = {}, 0
+            for _ in range(args.batches):
+                batch = {k: jnp.asarray(v)
+                         for k, v in sampler.sample_batch(cfg.gan.batch_size).items()}
+                m = train_gan.gan_eval_step(state, batch, cfg.gan)
+                for k, v in m.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+                n += 1
+            for k in sorted(sums):
+                print(f"{k}: {sums[k] / n:.4f}")
+            if not args.syncnet_checkpoint:
+                print("note: eval/sync_loss used an untrained SyncNet "
+                      "(pass --syncnet-checkpoint)")
             return 0
         if args.cmd == "train-lip-expert":
             import jax
@@ -263,6 +331,14 @@ def main(argv: List[str] | None = None) -> int:
                 batch_fn = lambda: next(it)
             else:
                 batch_fn = lambda: sampler.sample_batch(cfg.gan.batch_size)
+            syncnet_params = None
+            if args.syncnet_checkpoint:
+                import jax
+
+                from .pipelines import train_syncnet
+
+                syncnet_params = train_syncnet.load_params(
+                    args.syncnet_checkpoint, cfg.gan, jax.random.key(cfg.seed))
             train_gan.train(
                 cfg.gan,
                 batch_fn,
@@ -271,6 +347,7 @@ def main(argv: List[str] | None = None) -> int:
                 seed=cfg.seed,
                 checkpoint_dir=getattr(args, "checkpoint_dir", None),
                 metrics_writer=writer,
+                syncnet_params=syncnet_params,
             )
         else:
             import jax
@@ -285,6 +362,11 @@ def main(argv: List[str] | None = None) -> int:
                 state, m = train_syncnet.train_step(state, batch, jax.random.key(cfg.seed),
                                                     cfg.gan)
                 writer.write(step, m)
+            if args.out:
+                from .core.checkpoint import save_once
+
+                save_once(args.out, {"syncnet": state.params})
+                print(f"saved sync expert → {args.out}")
         return 0
 
     if args.cmd in ("train-diffusion", "pack-diffusion-records"):

@@ -73,3 +73,13 @@ def train_step(
         state.replace(step=state.step + 1, params=new_params, opt_state=new_opt),
         {"loss": loss},
     )
+
+
+def load_params(path: str, cfg: GanConfig, key=None):
+    """Load a ``train-syncnet --out`` export — the in-framework stand-in
+    for the reference's frozen lipsync_expert.pth (train_lipreading.py:
+    342-343; the shipped file is a broken HTML page, SURVEY §2.2)."""
+    from ..core.checkpoint import load_once
+
+    state = create_state(cfg, jax.random.key(0) if key is None else key)
+    return load_once(path, {"syncnet": state.params})["syncnet"]

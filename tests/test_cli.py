@@ -204,3 +204,29 @@ def test_sample_diffusion_video_generation(tmp_path):
     w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
     cap.release()
     assert (n, w) == (3, 16)
+
+
+@pytest.mark.slow
+def test_syncnet_export_train_eval_chain(tmp_path, capsys):
+    """The reference's expert workflow end-to-end: pretrain SyncNet →
+    export → train-gan against the frozen expert → eval-gan metrics from
+    the trained checkpoint (lipsync_expert.pth role, train_lipreading.py:
+    342-343 + eval_model:155-192)."""
+    sync_ck = str(tmp_path / "sync_ck")
+    rc = cli.main(["train-syncnet", "--steps", "2", "--synthetic",
+                   "--out", sync_ck, *GAN_TINY])
+    assert rc == 0
+
+    gan_ck = str(tmp_path / "gan_ck")
+    rc = cli.main(["train-gan", "--steps", "2", "--synthetic",
+                   "--checkpoint-dir", gan_ck,
+                   "--set", "gan.checkpoint_interval=2",
+                   "--syncnet-checkpoint", sync_ck, *GAN_TINY])
+    assert rc == 0
+
+    rc = cli.main(["eval-gan", "--checkpoint", gan_ck, "--synthetic",
+                   "--syncnet-checkpoint", sync_ck, "--batches", "2", *GAN_TINY])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "eval/psnr" in out and "eval/ssim" in out and "eval/sync_loss" in out
+    assert "untrained SyncNet" not in out
