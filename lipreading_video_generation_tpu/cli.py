@@ -100,6 +100,10 @@ def main(argv: List[str] | None = None) -> int:
     p.add_argument("--syncnet-checkpoint", default=None,
                    help="pretrained frozen sync expert (train-syncnet --out) "
                         "— the reference's lipsync_expert.pth role")
+    p.add_argument("--lip-expert-checkpoint", default=None,
+                   help="pretrained frozen lipreading expert (train-lip-expert "
+                        "--out) for the --set gan.lip_weight>0 criterion — "
+                        "the reference's AV-HuBERT checkpoint role")
     p.add_argument("--synthetic", action="store_true")
 
     p = _base_parser(sub, "eval-gan",
@@ -261,9 +265,17 @@ def main(argv: List[str] | None = None) -> int:
                 for root, dirs, files in os.walk(args.preprocessed_root):
                     if "audio.wav" in files:
                         clips.append(load_gan_clip(root))
+            have_text = any(c.text for c in clips)
+            if args.cmd == "train-lip-expert" and not have_text:
+                parser.error(
+                    "train-lip-expert needs transcripts, but no clip under "
+                    "the dataset root has a text sidecar (text.txt) — "
+                    "re-run preprocess-gan on LRS2-style sources with "
+                    "transcripts, or use --synthetic"
+                )
             sampler = GanWindowSampler(
                 clips, cfg.gan.syncnet_T, seed=cfg.seed,
-                with_text=want_text and any(c.text for c in clips),
+                with_text=want_text and have_text,
             )
         writer = Metrics(ConsoleWriter(every=10))
         if args.cmd == "pack-gan-records":
@@ -281,7 +293,8 @@ def main(argv: List[str] | None = None) -> int:
             key = jax.random.key(cfg.seed)
             state = train_gan.create_state(cfg.gan, key)
             state = state.replace(
-                gen_params=train_gan.load_generator_params(args.checkpoint, cfg.gan, key)
+                gen_params=train_gan.load_generator_params(
+                    args.checkpoint, cfg.gan, key, state=state)
             )
             if args.syncnet_checkpoint:
                 state = state.replace(syncnet_params=train_syncnet.load_params(
@@ -339,6 +352,15 @@ def main(argv: List[str] | None = None) -> int:
 
                 syncnet_params = train_syncnet.load_params(
                     args.syncnet_checkpoint, cfg.gan, jax.random.key(cfg.seed))
+            lip_expert_params = None
+            if args.lip_expert_checkpoint:
+                import jax
+
+                from .pipelines import train_lip_expert
+
+                lip_expert_params = train_lip_expert.load_params(
+                    args.lip_expert_checkpoint, syncnet_T=cfg.gan.syncnet_T,
+                    key=jax.random.key(cfg.seed))
             train_gan.train(
                 cfg.gan,
                 batch_fn,
@@ -348,6 +370,7 @@ def main(argv: List[str] | None = None) -> int:
                 checkpoint_dir=getattr(args, "checkpoint_dir", None),
                 metrics_writer=writer,
                 syncnet_params=syncnet_params,
+                lip_expert_params=lip_expert_params,
             )
         else:
             import jax

@@ -274,13 +274,18 @@ def _clip_audio(video_path: str, audio_path: Optional[str] = None,
     sidecar = os.path.splitext(video_path)[0] + ".wav"
     if os.path.exists(sidecar):
         return load_wav(sidecar, sr)
+    import tempfile
+
     from .video import extract_audio
 
-    tmp = video_path + ".cond.wav"
-    if extract_audio(video_path, tmp, sr):
-        wav = load_wav(tmp, sr)
-        os.remove(tmp)
-        return wav
+    # managed temp in a writable dir — the source tree may be read-only
+    fd, tmp = tempfile.mkstemp(suffix=".wav")
+    os.close(fd)
+    try:
+        if extract_audio(video_path, tmp, sr):
+            return load_wav(tmp, sr)
+    finally:
+        os.unlink(tmp)
     raise ValueError(
         f"no audio for {video_path!r}: pass --cond-audio, add a sidecar "
         ".wav, or install ffmpeg"

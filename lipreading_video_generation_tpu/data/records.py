@@ -28,7 +28,9 @@ SPEC_FILENAME = "records_spec.json"
 
 @dataclasses.dataclass(frozen=True)
 class GanRecordSpec:
-    """Byte layout of one packed GAN training sample."""
+    """Byte layout of one packed GAN training sample — a named wrapper over
+    the generic ``TensorRecordSpec`` layout (kept as its own spec-file kind
+    for the window/wav shape parameters and wav-truncation semantics)."""
 
     syncnet_T: int
     height: int
@@ -36,59 +38,32 @@ class GanRecordSpec:
     wav_len: int
     max_text_len: int = 0  # 0 = no text_tokens section
 
-    @property
-    def window_bytes(self) -> int:
-        return self.syncnet_T * self.height * self.width * 3
+    def _tensor_spec(self) -> "TensorRecordSpec":
+        t, h, w = self.syncnet_T, self.height, self.width
+        fields = [
+            ("window", (t, h, w, 3), "uint8"),
+            ("wrong_window", (t, h, w, 3), "uint8"),
+            ("start_frame", (), "int32"),
+            ("wav", (self.wav_len,), "float32"),
+        ]
+        if self.max_text_len:
+            fields.append(("text_tokens", (self.max_text_len,), "int32"))
+        return TensorRecordSpec(fields=tuple(fields))
 
     @property
     def record_bytes(self) -> int:
-        n = 2 * self.window_bytes          # window + wrong_window (uint8)
-        n += 4                             # start_frame (int32)
-        n += 4 * self.wav_len              # wav (float32)
-        n += 4 * self.max_text_len         # text_tokens (int32)
-        return n
+        return self._tensor_spec().record_bytes
 
     def pack(self, sample: Dict[str, np.ndarray]) -> bytes:
-        parts = [
-            np.ascontiguousarray(sample["window"], np.uint8).tobytes(),
-            np.ascontiguousarray(sample["wrong_window"], np.uint8).tobytes(),
-            np.int32(sample["start_frame"]).tobytes(),
-            np.ascontiguousarray(sample["wav"], np.float32)[: self.wav_len].tobytes(),
-        ]
-        if self.max_text_len:
-            parts.append(np.ascontiguousarray(sample["text_tokens"], np.int32).tobytes())
-        out = b"".join(parts)
-        if len(out) != self.record_bytes:
-            raise ValueError(
-                f"sample does not match spec: got {len(out)} bytes, "
-                f"expected {self.record_bytes}"
-            )
-        return out
+        sample = dict(sample)
+        # windows may carry a longer source wav; keep the window-aligned head
+        sample["wav"] = np.ascontiguousarray(sample["wav"], np.float32)[: self.wav_len]
+        sample["start_frame"] = np.asarray(sample["start_frame"], np.int32).reshape(())
+        return self._tensor_spec().pack(sample)
 
     def unpack(self, raw: np.ndarray) -> Dict[str, np.ndarray]:
         """(record_bytes,) uint8 → sample dict (copies, C-contiguous)."""
-        t, h, w = self.syncnet_T, self.height, self.width
-        o = 0
-        wb = self.window_bytes
-        window = raw[o : o + wb].reshape(t, h, w, 3).copy()
-        o += wb
-        wrong = raw[o : o + wb].reshape(t, h, w, 3).copy()
-        o += wb
-        start = np.frombuffer(raw[o : o + 4].tobytes(), np.int32)[0]
-        o += 4
-        wav = np.frombuffer(raw[o : o + 4 * self.wav_len].tobytes(), np.float32).copy()
-        o += 4 * self.wav_len
-        out = {
-            "window": window,
-            "wrong_window": wrong,
-            "start_frame": start,
-            "wav": wav,
-        }
-        if self.max_text_len:
-            out["text_tokens"] = np.frombuffer(
-                raw[o : o + 4 * self.max_text_len].tobytes(), np.int32
-            ).copy()
-        return out
+        return self._tensor_spec().unpack(raw)
 
     def save(self, directory: str) -> None:
         with open(os.path.join(directory, SPEC_FILENAME), "w") as f:
@@ -117,7 +92,8 @@ class TensorRecordSpec:
     def pack(self, sample: Dict[str, np.ndarray]) -> bytes:
         parts = []
         for name, shape, dtype in self.fields:
-            a = np.ascontiguousarray(sample[name], dtype)
+            # np.asarray (not ascontiguousarray: it promotes 0-d to 1-d)
+            a = np.asarray(sample[name], dtype, order="C")
             if a.shape != tuple(shape):
                 raise ValueError(f"{name}: shape {a.shape} != spec {tuple(shape)}")
             parts.append(a.tobytes())
@@ -240,6 +216,8 @@ def iter_record_batches(
                 for k in buf[0]
             }
             buf = []
+    if buf:  # trailing partial batch (loop=False, count % batch_size != 0)
+        yield {k: np.stack([s[k] for s in buf]) for k in buf[0]}
 
 
 iter_gan_record_batches = iter_record_batches

@@ -39,7 +39,7 @@ def detect_face_tracks(
     s3fd_params,
     frames: np.ndarray,
     cfg: PreprocessConfig = PreprocessConfig(),
-    pads: tuple = (0, 10, 0, 0),
+    pads: tuple = (0, 0, 0, 0),
     nosmooth: bool = False,
 ) -> np.ndarray:
     """Batched S3FD over all frames → smoothed (T, 4) boxes (y1, y2, x1, x2).
@@ -47,9 +47,11 @@ def detect_face_tracks(
     face_detect + get_smoothened_boxes (inference.py:61-108). Frames with no
     detection inherit the previous frame's box (the reference hard-errors,
     inference.py:92-94; tracking through dropouts is strictly better).
-    ``pads`` = (pady1, pady2, padx1, padx2), reference default [0, 10, 0, 0]
-    (inference.py:33-34, 89-98) — the bottom pad materially changes the crop
-    the generator sees. ``nosmooth`` skips the T=5 box smoothing (:103).
+    ``pads`` = (pady1, pady2, padx1, padx2). Padding is a GAN-inference-only
+    knob in the reference (inference.py:33-34, 89-98, default [0, 10, 0, 0]
+    — ``lipsync_video`` passes that); training preprocessing and the
+    lipreading ROI path use unpadded boxes, so the default here is zero.
+    ``nosmooth`` skips the T=5 box smoothing (:103).
     """
     model = S3FD()
     t = len(frames)
@@ -186,14 +188,22 @@ def lipsync_video(
     if static_frame or len(frames) == 1:
         frames = np.repeat(frames[:1], max(len(frames), 1), 0)
     if not audio_path.endswith(".wav"):
-        # ffmpeg wav extraction (inference.py:219-224)
-        tmp_wav = out_path + ".input.wav"
-        if not video_io.extract_audio(audio_path, tmp_wav, audio_cfg.sample_rate):
-            raise ValueError(
-                f"cannot extract audio from {audio_path!r} (no ffmpeg and no sidecar .wav)"
-            )
-        audio_path = tmp_wav
-    wav = video_io.load_wav(audio_path, audio_cfg.sample_rate)
+        # ffmpeg wav extraction (inference.py:219-224) into a managed temp
+        import os
+        import tempfile
+
+        fd, tmp_wav = tempfile.mkstemp(suffix=".wav")
+        os.close(fd)
+        try:
+            if not video_io.extract_audio(audio_path, tmp_wav, audio_cfg.sample_rate):
+                raise ValueError(
+                    f"cannot extract audio from {audio_path!r} (no ffmpeg and no sidecar .wav)"
+                )
+            wav = video_io.load_wav(tmp_wav, audio_cfg.sample_rate)
+        finally:
+            os.unlink(tmp_wav)
+    else:
+        wav = video_io.load_wav(audio_path, audio_cfg.sample_rate)
     mel = audio_ops.melspectrogram(jnp.asarray(wav), audio_cfg)
     if not np.isfinite(np.asarray(mel)).all():
         raise ValueError("mel contains NaN/inf (inference.py:230 guard)")
@@ -249,9 +259,16 @@ def lipsync_video(
         gen_all(jnp.asarray(fb), jnp.asarray(bb), jnp.asarray(mb))
     ).reshape((-1,) + frames_seq.shape[1:])[:num_out]
 
+    import os
+
     tmp_video = out_path + ".silent.mp4"
-    video_io.write_video(tmp_video, result, fps)
     wav_tmp = out_path + ".wav"
-    video_io.save_wav(wav_tmp, wav, audio_cfg.sample_rate)
-    muxed = video_io.mux_audio(tmp_video, wav_tmp, out_path)
+    try:
+        video_io.write_video(tmp_video, result, fps)
+        video_io.save_wav(wav_tmp, wav, audio_cfg.sample_rate)
+        muxed = video_io.mux_audio(tmp_video, wav_tmp, out_path)
+    finally:
+        for p in (tmp_video, wav_tmp):
+            if os.path.exists(p) and p != out_path:
+                os.unlink(p)
     return InferenceResult(frames=result, boxes=boxes, muxed=muxed)

@@ -288,16 +288,20 @@ def restore_state(state: GanTrainState, restored: Dict[str, Any]) -> GanTrainSta
     )
 
 
-def load_generator_params(checkpoint_path: str, cfg: GanConfig, key: Optional[jax.Array] = None):
+def load_generator_params(checkpoint_path: str, cfg: GanConfig,
+                          key: Optional[jax.Array] = None, state=None):
     """Serving-side checkpoint load — the reference's load_model
     (gan-model/inference.py:162-181): restore trained generator params from
     a train-gan checkpoint directory (Orbax CheckpointManager layout,
-    latest step) or a one-shot ``save_once`` path of ``{"gen": params}``."""
+    latest step) or a one-shot ``save_once`` path of ``{"gen": params}``.
+    Pass an existing ``state`` to reuse as the restore template (skips a
+    second full G+D+SyncNet init)."""
     import os
 
     from ..core.checkpoint import CheckpointManager, load_once
 
-    state = create_state(cfg, jax.random.key(0) if key is None else key)
+    if state is None:
+        state = create_state(cfg, jax.random.key(0) if key is None else key)
     if os.path.isdir(checkpoint_path) and any(
         d.isdigit() for d in os.listdir(checkpoint_path)
     ):
@@ -316,6 +320,7 @@ def train(
     audio_cfg: AudioConfig = AudioConfig(),
     metrics_writer=None,
     syncnet_params=None,
+    lip_expert_params=None,
     sample_dir: Optional[str] = None,
     mesh_spec=None,
 ) -> GanTrainState:
@@ -332,7 +337,8 @@ def train(
 
     spec = mesh_spec or build_mesh(MeshConfig())
     key = prng.make_root_key(seed)
-    state = create_state(cfg, key, syncnet_params=syncnet_params)
+    state = create_state(cfg, key, syncnet_params=syncnet_params,
+                         lip_expert_params=lip_expert_params)
     mgr = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
     start_step = 0
     if mgr is not None and mgr.latest_step() is not None:
@@ -350,7 +356,13 @@ def train(
             if metrics_writer is not None:
                 metrics_writer.write(step, metrics)
             if eval_batch_fn is not None and (step + 1) % cfg.eval_interval == 0:
-                eb = shard_batch(spec, eval_batch_fn())
+                # When caller passed the SAME callable for train and eval
+                # (the CLI does), calling it here would race the prefetch
+                # producer thread that is concurrently inside batch_fn
+                # (shared sampler/generator state) — eval on the current
+                # prefetched batch instead: same distribution, no race.
+                eb = batch if eval_batch_fn is batch_fn else shard_batch(
+                    spec, eval_batch_fn())
                 em = gan_eval_step(state, eb, cfg, audio_cfg)
                 state = maybe_open_sync_gate(state, float(em["eval/sync_loss"]), cfg)
                 if metrics_writer is not None:

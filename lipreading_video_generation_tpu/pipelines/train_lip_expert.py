@@ -75,3 +75,14 @@ def train_step(
         step=state.step + 1, params=new_params, opt_state=new_opt
     )
     return new_state, {"loss": loss}
+
+
+def load_params(path: str, syncnet_T: int = 5, key=None, max_text_len: int = 48):
+    """Load a ``train-lip-expert --out`` export for use as the GAN's frozen
+    lipreading expert (the reference's AV-HuBERT checkpoint role,
+    train_lipreading.py:130-133)."""
+    from ..core.checkpoint import load_once
+
+    state = create_state(jax.random.key(0) if key is None else key,
+                         syncnet_T=syncnet_T, max_text_len=max_text_len)
+    return load_once(path, {"lip_expert": state.params})["lip_expert"]

@@ -230,3 +230,35 @@ def test_syncnet_export_train_eval_chain(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "eval/psnr" in out and "eval/ssim" in out and "eval/sync_loss" in out
     assert "untrained SyncNet" not in out
+
+
+def test_train_lip_expert_without_transcripts_clear_error(tmp_path, capsys):
+    """A preprocessed root with no text sidecars must fail fast with a
+    clear message, not a KeyError inside the jitted step."""
+    import cv2
+
+    clip = tmp_path / "pre" / "clip0"
+    clip.mkdir(parents=True)
+    for i in range(12):
+        cv2.imwrite(str(clip / f"{i}.jpg"), np.zeros((32, 32, 3), np.uint8))
+    from lipreading_video_generation_tpu.data.video import save_wav
+
+    save_wav(str(clip / "audio.wav"), np.zeros(16000, np.float32), 16000)
+    with pytest.raises(SystemExit):
+        cli.main(["train-lip-expert", "--steps", "1",
+                  "--preprocessed-root", str(tmp_path / "pre"), *GAN_TINY])
+    assert "transcripts" in capsys.readouterr().err
+
+
+@pytest.mark.slow
+def test_lip_expert_export_feeds_gan(tmp_path):
+    """train-lip-expert --out → train-gan --lip-expert-checkpoint with the
+    text-conditioned criterion active (the AV-HuBERT ckpt workflow)."""
+    exp_ck = str(tmp_path / "exp_ck")
+    rc = cli.main(["train-lip-expert", "--steps", "1", "--synthetic",
+                   "--out", exp_ck, *GAN_TINY])
+    assert rc == 0
+    rc = cli.main(["train-gan", "--steps", "1", "--synthetic",
+                   "--lip-expert-checkpoint", exp_ck,
+                   "--set", "gan.lip_weight=0.01", *GAN_TINY])
+    assert rc == 0

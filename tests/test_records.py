@@ -175,3 +175,12 @@ def test_cli_pack_diffusion_records(tmp_path, capsys):
     assert code == 0
     assert "3 records" in capsys.readouterr().out
     assert len(rec.record_paths(out)) == 3
+
+
+def test_trailing_partial_batch_yielded(tmp_path):
+    s = _sampler()
+    d = str(tmp_path / "recs")
+    rec.write_gan_records(s, d, num_records=5)
+    it = rec.iter_record_batches(d, batch_size=2, loop=False, prefer_native=False)
+    sizes = [b["window"].shape[0] for b in it]
+    assert sizes == [2, 2, 1]   # no silent drop of the 5th record
