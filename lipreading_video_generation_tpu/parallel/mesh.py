@@ -99,6 +99,19 @@ def shard_batch(spec: MeshSpec, batch):
     return jax.tree_util.tree_map(_put, batch)
 
 
+def shard_stacked_batch(spec: MeshSpec, batches):
+    """Place a pytree of host arrays stacked over a leading STEP axis:
+    axis 0 (step) replicated, axis 1 (batch) sharded over the data axis —
+    the layout a ``lax.scan`` over train steps consumes."""
+    def _put(x):
+        if np.ndim(x) >= 2 and np.shape(x)[1] % spec.data_size == 0:
+            parts = (None, spec.data_axis) + (None,) * (np.ndim(x) - 2)
+            return jax.device_put(x, NamedSharding(spec.mesh, P(*parts)))
+        return jax.device_put(x, replicated(spec))
+
+    return jax.tree_util.tree_map(_put, batches)
+
+
 def param_partition_spec(path_leaf, spec: MeshSpec, model_shard_threshold: Optional[int] = None):
     """Default parameter layout: replicate everything (pure DP).
 

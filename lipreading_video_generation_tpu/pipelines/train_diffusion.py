@@ -81,8 +81,7 @@ def prepare_batch(batch: Dict[str, jax.Array], cfg: DiffusionConfig) -> Dict[str
     }
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def train_step(
+def _train_step_impl(
     state: DiffusionTrainState,
     batch: Dict[str, jax.Array],
     key: jax.Array,
@@ -114,6 +113,28 @@ def train_step(
         opt_state=new_opt,
     )
     return new_state, {"loss": loss, "t_mean": t.astype(jnp.float32).mean()}
+
+
+train_step = functools.partial(
+    jax.jit, static_argnames=("cfg",), donate_argnums=(0,)
+)(_train_step_impl)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def train_scan(
+    state: DiffusionTrainState,
+    batches: Dict[str, jax.Array],   # step-stacked batch tree, leading axis N
+    key: jax.Array,
+    cfg: DiffusionConfig,
+) -> Tuple[DiffusionTrainState, Dict[str, jax.Array]]:
+    """N train steps in ONE device program (``lax.scan`` over a
+    step-stacked batch tree) — amortizes per-dispatch host/relay overhead.
+    Per-step PRNG stays step-keyed: the impl folds ``key`` with
+    ``state.step``, which advances inside the scan."""
+    def body(s, b):
+        return _train_step_impl(s, b, key, cfg)
+
+    return jax.lax.scan(body, state, batches)
 
 
 def checkpoint_tree(state: DiffusionTrainState) -> Dict[str, Any]:
@@ -171,17 +192,25 @@ def train(
     metrics_writer=None,
     checkpoint_every: int = 500,
     mesh_spec=None,
+    steps_per_dispatch: int = 4,
 ) -> DiffusionTrainState:
     """Step-driven loop (train.py:107-137 shape, step- not epoch-indexed):
-    q-sample + ε-MSE per step on the data-parallel mesh, batches prefetched
-    to device while the previous step runs; periodic Orbax checkpoints of
-    the FULL train state (params + EMA + optimizer + step) replacing the
-    reference's bare per-epoch state_dict overwrite (train.py:137)."""
+    q-sample + ε-MSE per step on the data-parallel mesh; periodic Orbax
+    checkpoints of the FULL train state (params + EMA + optimizer + step)
+    replacing the reference's bare per-epoch state_dict overwrite
+    (train.py:137). ``steps_per_dispatch`` > 1 scans that many steps per
+    device program (``train_scan``), chunks aligned to checkpoint
+    boundaries."""
     from ..core import prng
     from ..core.checkpoint import CheckpointManager
     from ..core.config import MeshConfig
-    from ..data.loader import prefetch_to_device
-    from ..parallel.mesh import build_mesh, replicate_state
+    from ..parallel.mesh import (
+        build_mesh,
+        replicate_state,
+        shard_batch,
+        shard_stacked_batch,
+    )
+    from .train_gan import _stack_batches
 
     spec = mesh_spec or build_mesh(MeshConfig())
     key = prng.make_root_key(seed)
@@ -194,13 +223,30 @@ def train(
         state = restore_state(state, restored)
     with spec.mesh:
         state = replicate_state(spec, state)
-        feed = prefetch_to_device(batch_fn, spec, num_batches=num_steps - start_step)
-        for step, batch in zip(range(start_step, num_steps), feed):
-            state, metrics = train_step(state, batch, key, cfg)
-            if metrics_writer is not None:
-                metrics_writer.write(step, metrics)
-            if mgr is not None and (step + 1) % checkpoint_every == 0:
-                mgr.save(step + 1, checkpoint_tree(state))
+        step = start_step
+        while step < num_steps:
+            nxt = min(num_steps, step + steps_per_dispatch,
+                      step + checkpoint_every - (step % checkpoint_every))
+            n = max(1, nxt - step)
+            if n == 1:
+                state, metrics = train_step(
+                    state, shard_batch(spec, batch_fn()), key, cfg)
+                if metrics_writer is not None:
+                    metrics_writer.write(step, metrics)
+            else:
+                batches = shard_stacked_batch(
+                    spec, _stack_batches([batch_fn() for _ in range(n)]))
+                state, ms = train_scan(state, batches, key, cfg)
+                if metrics_writer is not None:
+                    import numpy as np
+
+                    ms = {k: np.asarray(v) for k, v in ms.items()}
+                    for i in range(n):
+                        metrics_writer.write(step + i,
+                                             {k: v[i] for k, v in ms.items()})
+            step += n
+            if mgr is not None and step % checkpoint_every == 0:
+                mgr.save(step, checkpoint_tree(state))
     if mgr is not None:
         mgr.wait()
     return state

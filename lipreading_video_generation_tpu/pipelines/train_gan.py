@@ -154,8 +154,7 @@ def _sync_loss(syncnet_params, mel, generated, cfg: GanConfig):
     return losses.cosine_bce_sync_loss(a, v)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "audio_cfg"), donate_argnums=(0,))
-def gan_train_step(
+def _gan_train_step_impl(
     state: GanTrainState,
     batch: Dict[str, jax.Array],
     key: jax.Array,
@@ -231,6 +230,38 @@ def gan_train_step(
         disc_opt=new_disc_opt,
     )
     return new_state, metrics
+
+
+gan_train_step = functools.partial(
+    jax.jit, static_argnames=("cfg", "audio_cfg"), donate_argnums=(0,)
+)(_gan_train_step_impl)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "audio_cfg"), donate_argnums=(0,))
+def gan_train_scan(
+    state: GanTrainState,
+    batches: Dict[str, jax.Array],   # step-stacked batch tree, leading axis N
+    key: jax.Array,
+    cfg: GanConfig,
+    audio_cfg: AudioConfig = AudioConfig(),
+) -> Tuple[GanTrainState, Dict[str, jax.Array]]:
+    """N train steps in ONE device program — ``lax.scan`` over a
+    step-stacked batch tree.
+
+    Profiled at the reference config (scripts/profile_gan_train.py): the
+    device step is 59 ms but a per-step dispatch costs 133 ms wall — the
+    host→relay round trip costs more than the step itself. Scanning
+    amortizes it. Returns metrics stacked (N,) per key."""
+    def body(s, b):
+        return _gan_train_step_impl(s, b, key, cfg, audio_cfg)
+
+    return jax.lax.scan(body, state, batches)
+
+
+def _stack_batches(raws):
+    import numpy as np
+
+    return {k: np.stack([r[k] for r in raws]) for k in raws[0]}
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "audio_cfg"))
@@ -323,17 +354,26 @@ def train(
     lip_expert_params=None,
     sample_dir: Optional[str] = None,
     mesh_spec=None,
+    steps_per_dispatch: int = 8,
 ) -> GanTrainState:
     """Step-driven training loop (train_lipreading.py:91-199 shape):
     G+D step each iteration; every ``eval_interval`` steps run eval and
     maybe open the syncnet_wt gate; checkpoint every
     ``checkpoint_interval``; periodic sample-image dumps
-    (save_sample_images, train_lipreading.py:57-68)."""
+    (save_sample_images, train_lipreading.py:57-68).
+
+    ``steps_per_dispatch`` > 1 scans that many steps per device program
+    (``gan_train_scan``), chunks aligned to eval/checkpoint boundaries —
+    dispatch overhead measured larger than the device step itself."""
     from ..core import prng
     from ..core.checkpoint import CheckpointManager
     from ..core.config import MeshConfig
-    from ..data.loader import prefetch_to_device
-    from ..parallel.mesh import build_mesh, replicate_state, shard_batch
+    from ..parallel.mesh import (
+        build_mesh,
+        replicate_state,
+        shard_batch,
+        shard_stacked_batch,
+    )
 
     spec = mesh_spec or build_mesh(MeshConfig())
     key = prng.make_root_key(seed)
@@ -350,29 +390,47 @@ def train(
         state = restore_state(state, restored)
     with spec.mesh:
         state = replicate_state(spec, state)
-        feed = prefetch_to_device(batch_fn, spec, num_batches=num_steps - start_step)
-        for step, batch in zip(range(start_step, num_steps), feed):
-            state, metrics = gan_train_step(state, batch, key, cfg, audio_cfg)
-            if metrics_writer is not None:
-                metrics_writer.write(step, metrics)
-            if eval_batch_fn is not None and (step + 1) % cfg.eval_interval == 0:
+        step = start_step
+        while step < num_steps:
+            # chunk ends at the next eval/checkpoint boundary so cadence
+            # semantics are unchanged by multi-step dispatch
+            bounds = [num_steps, step + steps_per_dispatch]
+            for iv in (cfg.eval_interval, cfg.checkpoint_interval):
+                bounds.append(step + iv - (step % iv))
+            n = max(1, min(bounds) - step)
+            if n == 1:
+                batch = shard_batch(spec, batch_fn())
+                state, metrics = gan_train_step(state, batch, key, cfg, audio_cfg)
+                if metrics_writer is not None:
+                    metrics_writer.write(step, metrics)
+            else:
+                # N steps in one device program (see gan_train_scan): host
+                # sampling of the chunk is amortized n-fold
+                batches = shard_stacked_batch(spec, _stack_batches(
+                    [batch_fn() for _ in range(n)]))
+                batch = jax.tree_util.tree_map(lambda x: x[-1], batches)
+                state, ms = gan_train_scan(state, batches, key, cfg, audio_cfg)
+                if metrics_writer is not None:
+                    ms = {k: np.asarray(v) for k, v in ms.items()}
+                    for i in range(n):
+                        metrics_writer.write(step + i,
+                                             {k: v[i] for k, v in ms.items()})
+            step += n
+            if eval_batch_fn is not None and step % cfg.eval_interval == 0:
                 # When caller passed the SAME callable for train and eval
-                # (the CLI does), calling it here would race the prefetch
-                # producer thread that is concurrently inside batch_fn
-                # (shared sampler/generator state) — eval on the current
-                # prefetched batch instead: same distribution, no race.
+                # (the CLI does), calling it here could race a concurrent
+                # producer thread / shared sampler state — eval on the last
+                # training batch instead: same distribution, no race.
                 eb = batch if eval_batch_fn is batch_fn else shard_batch(
                     spec, eval_batch_fn())
                 em = gan_eval_step(state, eb, cfg, audio_cfg)
                 state = maybe_open_sync_gate(state, float(em["eval/sync_loss"]), cfg)
                 if metrics_writer is not None:
-                    metrics_writer.write(step, em)
-            if mgr is not None and (step + 1) % cfg.checkpoint_interval == 0:
-                mgr.save(step + 1, checkpoint_tree(state))
-            if sample_dir is not None and (step + 1) % cfg.checkpoint_interval == 0:
+                    metrics_writer.write(step - 1, em)
+            if mgr is not None and step % cfg.checkpoint_interval == 0:
+                mgr.save(step, checkpoint_tree(state))
+            if sample_dir is not None and step % cfg.checkpoint_interval == 0:
                 import os
-
-                import numpy as np
 
                 os.makedirs(sample_dir, exist_ok=True)
                 g = generate_step(state, batch, cfg, audio_cfg)
@@ -382,7 +440,7 @@ def train(
                 try:
                     import cv2
 
-                    cv2.imwrite(os.path.join(sample_dir, f"step{step+1}.jpg"),
+                    cv2.imwrite(os.path.join(sample_dir, f"step{step}.jpg"),
                                 collage[:, :, ::-1])
                 except Exception:
                     pass

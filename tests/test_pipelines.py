@@ -432,3 +432,61 @@ def test_sample_video_batched_trajectory():
     assert clip.shape == (3, 16, 16, 3) and clip.dtype == jnp.uint8
     c = np.asarray(clip)
     assert np.any(c[0] != c[1]) and np.any(c[1] != c[2])
+
+
+def test_gan_scan_matches_stepwise():
+    """gan_train_scan is a pure performance transform: the loss trajectory
+    over 3 steps must match 3 direct steps (well-conditioned check; exact
+    param equality is ill-posed — near-zero-grad elements take
+    sign-of-noise Adam updates under any fusion change), and params must
+    agree to within a couple of lr-sized updates."""
+    cfg32 = GanConfig(model_width=0.125, batch_size=2, dtype="float32")
+    batches = [_gan_batch() for _ in range(3)]
+
+    s1 = train_gan.create_state(cfg32, KEY)
+    losses_step = []
+    for b in batches:
+        s1, m = train_gan.gan_train_step(
+            s1, {k: jnp.asarray(v) for k, v in b.items()}, KEY, cfg32)
+        losses_step.append([float(m["loss/g_total"]), float(m["loss/d_real"]),
+                            float(m["loss/d_fake"])])
+
+    s2 = train_gan.create_state(cfg32, KEY)
+    stacked = {k: jnp.asarray(np.stack([b[k] for b in batches])) for k in batches[0]}
+    s2, ms = train_gan.gan_train_scan(s2, stacked, KEY, cfg32)
+    assert int(s2.step) == 3
+    losses_scan = np.stack([np.asarray(ms["loss/g_total"]),
+                            np.asarray(ms["loss/d_real"]),
+                            np.asarray(ms["loss/d_fake"])], axis=1)
+    np.testing.assert_allclose(losses_scan, np.asarray(losses_step), rtol=2e-3)
+    for x, y in zip(jax.tree_util.tree_leaves(s1.gen_params),
+                    jax.tree_util.tree_leaves(s2.gen_params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=5e-3, atol=3e-4)
+
+
+def test_diffusion_scan_matches_stepwise():
+    """train_scan must reproduce the stepwise loss trajectory exactly in
+    expectation: the per-step PRNG folds the root key with state.step, so
+    the same t/noise draws happen inside and outside the scan."""
+    rng = np.random.default_rng(0)
+
+    def mk():
+        return {
+            "cond_frame": rng.integers(0, 256, (2, 16, 16, 3), dtype=np.uint8),
+            "target_frame": rng.integers(0, 256, (2, 16, 16, 3), dtype=np.uint8),
+            "audio": rng.standard_normal((2, 800)).astype(np.float32),
+        }
+
+    batches = [mk() for _ in range(3)]
+    s1 = train_diffusion.create_state(TINY_DIFF, KEY)
+    losses_step = []
+    for b in batches:
+        s1, m = train_diffusion.train_step(
+            s1, {k: jnp.asarray(v) for k, v in b.items()}, KEY, TINY_DIFF)
+        losses_step.append(float(m["loss"]))
+    s2 = train_diffusion.create_state(TINY_DIFF, KEY)
+    stacked = {k: jnp.asarray(np.stack([b[k] for b in batches])) for k in batches[0]}
+    s2, ms = train_diffusion.train_scan(s2, stacked, KEY, TINY_DIFF)
+    assert int(s2.step) == 3
+    np.testing.assert_allclose(np.asarray(ms["loss"]), losses_step, rtol=2e-3)
