@@ -62,8 +62,7 @@ def preprocess_clips(clips_uint8: jax.Array) -> jax.Array:
     return clips_uint8.astype(jnp.float32) / 255.0
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def train_step(
+def _train_step_impl(
     state: TrainState, batch: Dict[str, jax.Array], dropout_key: jax.Array
 ) -> Tuple[TrainState, Dict[str, jax.Array]]:
     clips = preprocess_clips(batch["clips"])
@@ -83,6 +82,23 @@ def train_step(
     new_state = state.apply_gradients(grads=grads)
     metrics = {"loss": loss, "accuracy": losses.accuracy(logits, labels)}
     return new_state, metrics
+
+
+train_step = functools.partial(jax.jit, donate_argnums=(0,))(_train_step_impl)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def train_scan(
+    state: TrainState, batches: Dict[str, jax.Array], dropout_key: jax.Array
+) -> Tuple[TrainState, Dict[str, jax.Array]]:
+    """N train steps in ONE device program (``lax.scan`` over a
+    step-stacked batch tree) — at ~5 ms/device-step the per-dispatch round
+    trip dominates the loop; scanning amortizes it. Per-step dropout keys
+    stay step-folded (the impl folds with state.step inside the scan)."""
+    def body(s, b):
+        return _train_step_impl(s, b, dropout_key)
+
+    return jax.lax.scan(body, state, batches)
 
 
 @jax.jit
@@ -121,14 +137,17 @@ def train(
     num_epochs: Optional[int] = None,
     mesh_spec: Optional[MeshSpec] = None,
     metrics_writer=None,
+    steps_per_dispatch: int = 8,
 ) -> Tuple[TrainState, Dict[str, float]]:
     """Epoch loop with best-accuracy snapshot
     (huggingface_vivit_model.py:70-95).
 
     ``train_batches_fn()`` → iterable of {"clips","labels"} numpy batches.
+    Equal-shaped runs of up to ``steps_per_dispatch`` batches are scanned
+    in one device program (``train_scan``); ragged tails go stepwise.
     """
-    from ..data.loader import iterator_feed, prefetch_to_device
-    from ..parallel.mesh import replicate_state
+    from ..parallel.mesh import replicate_state, shard_stacked_batch
+    from .train_gan import _stack_batches
 
     spec = mesh_spec or build_mesh(cfg.mesh)
     key = prng.make_root_key(cfg.seed)
@@ -136,15 +155,39 @@ def train(
     best = {"accuracy": -1.0}
     best_params = state.params
     epochs = num_epochs if num_epochs is not None else cfg.vivit.num_epochs
+
+    def dispatch(state, chunk):
+        if len(chunk) == 1:
+            state, m = train_step(state, shard_batch(spec, chunk[0]), key)
+            if metrics_writer is not None:
+                metrics_writer.write(int(state.step), m)
+        else:
+            batches = shard_stacked_batch(spec, _stack_batches(chunk))
+            state, ms = train_scan(state, batches, key)
+            if metrics_writer is not None:
+                ms = {k: np.asarray(v) for k, v in ms.items()}
+                for i in range(len(chunk)):
+                    metrics_writer.write(
+                        int(state.step) - len(chunk) + 1 + i,
+                        {k: v[i] for k, v in ms.items()})
+        return state
+
     with spec.mesh:
         state = replicate_state(spec, state)
         for epoch in range(epochs):
-            # host decode + device transfer overlap the previous step
-            feed = prefetch_to_device(iterator_feed(iter(train_batches_fn())), spec)
-            for batch in feed:
-                state, metrics = train_step(state, batch, key)
-                if metrics_writer is not None:
-                    metrics_writer.write(int(state.step), metrics)
+            chunk = []
+            for batch in train_batches_fn():
+                if chunk and any(
+                    np.shape(batch[k]) != np.shape(chunk[0][k]) for k in batch
+                ):
+                    state = dispatch(state, chunk)
+                    chunk = []
+                chunk.append(batch)
+                if len(chunk) == steps_per_dispatch:
+                    state = dispatch(state, chunk)
+                    chunk = []
+            if chunk:
+                state = dispatch(state, chunk)
             if eval_batches_fn is not None:
                 stats = evaluate(state, map(lambda b: shard_batch(spec, b), eval_batches_fn()))
                 if stats["accuracy"] > best["accuracy"]:
