@@ -71,3 +71,54 @@ def iterator_feed(it: Iterator[Dict[str, np.ndarray]]) -> Callable[[], Dict[str,
         except StopIteration:
             raise
     return fn
+
+
+def host_prefetch(
+    batch_fn: Callable[[], Dict[str, np.ndarray]],
+    depth: int = 16,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Producer-thread iterator of HOST batches (no device transfer) — the
+    feed side of the scan-chunked train loops: while the device runs a
+    multi-step program, the producer refills the next chunk's batches.
+    Ends cleanly when ``batch_fn`` raises StopIteration."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def producer():
+        while not stop.is_set():
+            try:
+                batch = batch_fn()
+            except StopIteration:
+                break
+            q.put(batch)
+        q.put(None)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    try:
+        while True:
+            batch = q.get()
+            if batch is None:
+                break
+            yield batch
+    finally:
+        stop.set()
+        while not q.empty():
+            q.get_nowait()
+
+
+def take(it: Iterator, n: int) -> list:
+    """Up to ``n`` items from ``it`` (fewer at feed end)."""
+    out = []
+    for _ in range(n):
+        try:
+            out.append(next(it))
+        except StopIteration:
+            break
+    return out
+
+
+def stack_batches(raws) -> Dict[str, np.ndarray]:
+    """[{k: (B, ...)}] → {k: (N, B, ...)} step-stacked host tree for the
+    scan-dispatch train loops."""
+    return {k: np.stack([r[k] for r in raws]) for k in raws[0]}

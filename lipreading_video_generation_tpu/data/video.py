@@ -116,10 +116,14 @@ def extract_audio(video_path: str, wav_path: str, sr: int = 16000) -> bool:
 
 def mux_audio(video_path: str, wav_path: str, out_path: str) -> bool:
     """Remux generated video with audio (inference.py:278-279). Without
-    ffmpeg the silent video is copied and False returned."""
+    ffmpeg — or if the mux command fails — the silent video is copied to
+    ``out_path`` so an output artifact always exists, and False returned."""
     if FFMPEG is None:
         shutil.copyfile(video_path, out_path)
         return False
     cmd = [FFMPEG, "-y", "-i", wav_path, "-i", video_path, "-strict", "-2",
            "-q:v", "1", "-loglevel", "error", out_path]
-    return subprocess.run(cmd, check=False).returncode == 0
+    if subprocess.run(cmd, check=False).returncode == 0:
+        return True
+    shutil.copyfile(video_path, out_path)
+    return False

@@ -204,13 +204,13 @@ def train(
     from ..core import prng
     from ..core.checkpoint import CheckpointManager
     from ..core.config import MeshConfig
+    from ..data.loader import host_prefetch, stack_batches, take
     from ..parallel.mesh import (
         build_mesh,
         replicate_state,
         shard_batch,
         shard_stacked_batch,
     )
-    from .train_gan import _stack_batches
 
     spec = mesh_spec or build_mesh(MeshConfig())
     key = prng.make_root_key(seed)
@@ -223,19 +223,22 @@ def train(
         state = restore_state(state, restored)
     with spec.mesh:
         state = replicate_state(spec, state)
+        feed = host_prefetch(batch_fn, depth=2 * steps_per_dispatch)
         step = start_step
         while step < num_steps:
             nxt = min(num_steps, step + steps_per_dispatch,
                       step + checkpoint_every - (step % checkpoint_every))
-            n = max(1, nxt - step)
+            raws = take(feed, max(1, nxt - step))
+            if not raws:
+                break   # finite feed exhausted
+            n = len(raws)
             if n == 1:
                 state, metrics = train_step(
-                    state, shard_batch(spec, batch_fn()), key, cfg)
+                    state, shard_batch(spec, raws[0]), key, cfg)
                 if metrics_writer is not None:
                     metrics_writer.write(step, metrics)
             else:
-                batches = shard_stacked_batch(
-                    spec, _stack_batches([batch_fn() for _ in range(n)]))
+                batches = shard_stacked_batch(spec, stack_batches(raws))
                 state, ms = train_scan(state, batches, key, cfg)
                 if metrics_writer is not None:
                     import numpy as np

@@ -259,9 +259,9 @@ def gan_train_scan(
 
 
 def _stack_batches(raws):
-    import numpy as np
+    from ..data.loader import stack_batches
 
-    return {k: np.stack([r[k] for r in raws]) for k in raws[0]}
+    return stack_batches(raws)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "audio_cfg"))
@@ -368,6 +368,7 @@ def train(
     from ..core import prng
     from ..core.checkpoint import CheckpointManager
     from ..core.config import MeshConfig
+    from ..data.loader import host_prefetch, stack_batches, take
     from ..parallel.mesh import (
         build_mesh,
         replicate_state,
@@ -390,6 +391,10 @@ def train(
         state = restore_state(state, restored)
     with spec.mesh:
         state = replicate_state(spec, state)
+        # host batches produced by a background thread (overlaps the
+        # device's multi-step programs); feed end (StopIteration from
+        # batch_fn) stops training cleanly mid-plan
+        feed = host_prefetch(batch_fn, depth=2 * steps_per_dispatch)
         step = start_step
         while step < num_steps:
             # chunk ends at the next eval/checkpoint boundary so cadence
@@ -397,17 +402,18 @@ def train(
             bounds = [num_steps, step + steps_per_dispatch]
             for iv in (cfg.eval_interval, cfg.checkpoint_interval):
                 bounds.append(step + iv - (step % iv))
-            n = max(1, min(bounds) - step)
+            raws = take(feed, max(1, min(bounds) - step))
+            if not raws:
+                break   # finite feed exhausted
+            n = len(raws)
             if n == 1:
-                batch = shard_batch(spec, batch_fn())
+                batch = shard_batch(spec, raws[0])
                 state, metrics = gan_train_step(state, batch, key, cfg, audio_cfg)
                 if metrics_writer is not None:
                     metrics_writer.write(step, metrics)
             else:
-                # N steps in one device program (see gan_train_scan): host
-                # sampling of the chunk is amortized n-fold
-                batches = shard_stacked_batch(spec, _stack_batches(
-                    [batch_fn() for _ in range(n)]))
+                # N steps in one device program (see gan_train_scan)
+                batches = shard_stacked_batch(spec, stack_batches(raws))
                 batch = jax.tree_util.tree_map(lambda x: x[-1], batches)
                 state, ms = gan_train_scan(state, batches, key, cfg, audio_cfg)
                 if metrics_writer is not None:
@@ -417,12 +423,15 @@ def train(
                                              {k: v[i] for k, v in ms.items()})
             step += n
             if eval_batch_fn is not None and step % cfg.eval_interval == 0:
-                # When caller passed the SAME callable for train and eval
-                # (the CLI does), calling it here could race a concurrent
-                # producer thread / shared sampler state — eval on the last
-                # training batch instead: same distribution, no race.
-                eb = batch if eval_batch_fn is batch_fn else shard_batch(
-                    spec, eval_batch_fn())
+                # fresh held-out batch (eval_model uses a val loader,
+                # train_lipreading.py:155-192). If caller passed the SAME
+                # callable for train and eval, pull it from the producer
+                # feed — fresh AND free of shared-sampler thread races.
+                if eval_batch_fn is batch_fn:
+                    nb = take(feed, 1)
+                    eb = shard_batch(spec, nb[0]) if nb else batch
+                else:
+                    eb = shard_batch(spec, eval_batch_fn())
                 em = gan_eval_step(state, eb, cfg, audio_cfg)
                 state = maybe_open_sync_gate(state, float(em["eval/sync_loss"]), cfg)
                 if metrics_writer is not None:

@@ -142,12 +142,14 @@ def train(
     """Epoch loop with best-accuracy snapshot
     (huggingface_vivit_model.py:70-95).
 
-    ``train_batches_fn()`` → iterable of {"clips","labels"} numpy batches.
-    Equal-shaped runs of up to ``steps_per_dispatch`` batches are scanned
-    in one device program (``train_scan``); ragged tails go stepwise.
+    ``train_batches_fn()`` → iterable of {"clips","labels"} numpy batches,
+    host-prefetched by a producer thread. Equal-shaped runs of up to
+    ``steps_per_dispatch`` batches are scanned in one device program
+    (``train_scan``; a shorter run — tail or shape break — scans at its own
+    length, one extra compile per distinct length); singletons go stepwise.
     """
+    from ..data.loader import host_prefetch, iterator_feed, stack_batches
     from ..parallel.mesh import replicate_state, shard_stacked_batch
-    from .train_gan import _stack_batches
 
     spec = mesh_spec or build_mesh(cfg.mesh)
     key = prng.make_root_key(cfg.seed)
@@ -162,7 +164,7 @@ def train(
             if metrics_writer is not None:
                 metrics_writer.write(int(state.step), m)
         else:
-            batches = shard_stacked_batch(spec, _stack_batches(chunk))
+            batches = shard_stacked_batch(spec, stack_batches(chunk))
             state, ms = train_scan(state, batches, key)
             if metrics_writer is not None:
                 ms = {k: np.asarray(v) for k, v in ms.items()}
@@ -176,7 +178,7 @@ def train(
         state = replicate_state(spec, state)
         for epoch in range(epochs):
             chunk = []
-            for batch in train_batches_fn():
+            for batch in host_prefetch(iterator_feed(iter(train_batches_fn()))):
                 if chunk and any(
                     np.shape(batch[k]) != np.shape(chunk[0][k]) for k in batch
                 ):

@@ -79,7 +79,7 @@ def main():
         from lipreading_video_generation_tpu.parallel.mesh import shard_stacked_batch
 
         state = train_gan.create_state(cfg, key)
-        n_chunks = args.steps // chunk
+        n_chunks = max(1, args.steps // chunk)
         with spec.mesh:
             state = replicate_state(spec, state)
             stacked = shard_stacked_batch(

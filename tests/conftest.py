@@ -27,6 +27,10 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: XLA-CPU compiles of the bigger models take
 # minutes on this box; cache them across test runs.
+# NOTE: a pytest run killed mid-cache-write (timeout/SIGKILL) can leave a
+# truncated entry whose deserialization SEGFAULTS a later run inside
+# jax compilation_cache.get_executable_and_time — if the suite segfaults
+# there, `rm -rf .jax_cache` and rerun.
 _CACHE_DIR = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -36,3 +40,15 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop in-process compiled executables after each test module.
+
+    A full slow-tier run accumulates dozens of large XLA-CPU executables in
+    one process and has been observed to segfault inside XLA late in the
+    run; the persistent disk cache makes re-reads cheap, so bounding
+    in-process growth costs little."""
+    yield
+    jax.clear_caches()

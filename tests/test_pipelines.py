@@ -490,3 +490,16 @@ def test_diffusion_scan_matches_stepwise():
     s2, ms = train_diffusion.train_scan(s2, stacked, KEY, TINY_DIFF)
     assert int(s2.step) == 3
     np.testing.assert_allclose(np.asarray(ms["loss"]), losses_step, rtol=2e-3)
+
+
+def test_gan_train_stops_cleanly_on_finite_feed():
+    """A finite batch feed (StopIteration from batch_fn) must end training
+    at feed exhaustion, not crash mid-chunk."""
+    batches = iter([_gan_batch() for _ in range(3)])
+
+    def batch_fn():
+        return next(batches)
+
+    cfg = GanConfig(model_width=0.125, batch_size=2, dtype="float32")
+    state = train_gan.train(cfg, batch_fn, num_steps=10, steps_per_dispatch=2)
+    assert int(state.step) == 3   # 2-step chunk + 1-step tail, then stop
