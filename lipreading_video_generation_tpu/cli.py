@@ -104,6 +104,9 @@ def main(argv: List[str] | None = None) -> int:
                    help="pretrained frozen lipreading expert (train-lip-expert "
                         "--out) for the --set gan.lip_weight>0 criterion — "
                         "the reference's AV-HuBERT checkpoint role")
+    p.add_argument("--steps-per-dispatch", type=int, default=8,
+                   help="train steps scanned per device program (amortizes "
+                        "dispatch overhead; 1 = one dispatch per step)")
     p.add_argument("--synthetic", action="store_true")
 
     p = _base_parser(sub, "eval-gan",
@@ -147,6 +150,8 @@ def main(argv: List[str] | None = None) -> int:
                         "stream batches through the native C++ prefetch loader")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=500)
+    p.add_argument("--steps-per-dispatch", type=int, default=4,
+                   help="train steps scanned per device program")
     p.add_argument("--synthetic", action="store_true")
 
     p = _base_parser(sub, "train-landmark",
@@ -371,6 +376,7 @@ def main(argv: List[str] | None = None) -> int:
                 metrics_writer=writer,
                 syncnet_params=syncnet_params,
                 lip_expert_params=lip_expert_params,
+                steps_per_dispatch=args.steps_per_dispatch,
             )
         else:
             import jax
@@ -434,6 +440,7 @@ def main(argv: List[str] | None = None) -> int:
             checkpoint_dir=args.checkpoint_dir,
             checkpoint_every=args.checkpoint_every,
             metrics_writer=Metrics(ConsoleWriter(every=10)),
+            steps_per_dispatch=args.steps_per_dispatch,
         )
         return 0
 
