@@ -139,3 +139,36 @@ def test_iterator_feed_protocol():
 
     with _pytest.raises(StopIteration):
         fn()
+
+
+# --- scan-feed helpers (data.loader) ---------------------------------------
+
+def test_host_prefetch_yields_all_and_stops():
+    from lipreading_video_generation_tpu.data.loader import host_prefetch
+
+    produced = iter([{"x": np.full((2,), i)} for i in range(5)])
+
+    def batch_fn():
+        return next(produced)
+
+    got = [b["x"][0] for b in host_prefetch(batch_fn, depth=2)]
+    assert got == [0, 1, 2, 3, 4]
+
+
+def test_take_partial_and_exhausted():
+    from lipreading_video_generation_tpu.data.loader import take
+
+    it = iter(range(5))
+    assert take(it, 3) == [0, 1, 2]
+    assert take(it, 10) == [3, 4]
+    assert take(it, 2) == []
+
+
+def test_stack_batches_shapes():
+    from lipreading_video_generation_tpu.data.loader import stack_batches
+
+    raws = [{"a": np.zeros((2, 3)), "b": np.ones((2,), np.int32)} for _ in range(4)]
+    out = stack_batches(raws)
+    assert out["a"].shape == (4, 2, 3)
+    assert out["b"].shape == (4, 2)
+    assert out["b"].dtype == np.int32
