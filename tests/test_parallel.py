@@ -166,3 +166,15 @@ def test_diffusion_train_loop_runs_on_mesh():
     assert int(state.step) == 3
     leaf = jax.tree_util.tree_leaves(state.params)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_shard_stacked_batch_layout():
+    """Step-stacked trees shard the BATCH axis (1), replicate the step
+    axis (0) — the layout the scan-dispatch train loops consume."""
+    spec = _spec()
+    x = np.zeros((3, 16, 5, 5))       # (steps, batch, ...)
+    y = np.zeros((3, 7))              # batch 7: 8 ∤ 7 → replicated
+    out = pmesh.shard_stacked_batch(spec, {"x": x, "y": y})
+    assert out["x"].sharding.spec == P(None, "data", None, None)
+    assert len(out["x"].sharding.device_set) == 8
+    assert out["y"].sharding.spec == P()
