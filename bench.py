@@ -81,6 +81,12 @@ def main() -> None:
     # warmup/compile, and force completion via host fetch
     _ = int(repeated(frames))
 
+    # FLOP accounting for MFU (XLA cost model over the compiled program)
+    from lipreading_video_generation_tpu.utils.flops import compiled_flops, mfu_report
+
+    total_flops = compiled_flops(repeated, frames)
+    flops_per_pass = total_flops / K if total_flops else None
+
     # fetch round-trip on an already-computed tiny buffer
     tiny = jnp.zeros((8,)) + 1.0
     _ = np.asarray(tiny)
@@ -95,6 +101,7 @@ def main() -> None:
     per_pass = max((total - rtt) / K, 1e-9)
 
     frames_per_sec = (b * t) / per_pass
+    mfu = mfu_report(flops_per_pass, per_pass)
     print(
         json.dumps(
             {
@@ -102,12 +109,14 @@ def main() -> None:
                 "value": round(frames_per_sec, 1),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(frames_per_sec / NORTH_STAR_FPS, 3),
+                **mfu,
             }
         )
     )
     print(
         f"[bench] backend={jax.default_backend()} batch={b} clip_frames={t} K={K} "
-        f"pass_time={per_pass*1000:.2f}ms rtt={rtt*1000:.1f}ms total={total*1000:.0f}ms",
+        f"pass_time={per_pass*1000:.2f}ms rtt={rtt*1000:.1f}ms total={total*1000:.0f}ms "
+        f"mfu={mfu['mfu']}",
         file=sys.stderr,
     )
 

@@ -65,12 +65,30 @@ def main(argv: List[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="lvg-tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
+    p = _base_parser(sub, "port-s3fd",
+                     "port the pretrained s3fd.pth face detector "
+                     "(torch state_dict → Orbax params)")
+    p.add_argument("--pth", required=True, help="path to s3fd.pth")
+    p.add_argument("--out", required=True, help="Orbax artifact path "
+                   "(feed to --s3fd-checkpoint flags)")
+
+    p = _base_parser(sub, "port-densenet",
+                     "port a torchvision densenet121 state_dict "
+                     "(imagenet feature extractor) to Orbax params")
+    p.add_argument("--pth", required=True,
+                   help="path to densenet121 state_dict .pth")
+    p.add_argument("--out", required=True, help="Orbax artifact path "
+                   "(feed to --densenet-checkpoint flags)")
+
     p = _base_parser(sub, "preprocess-gan", "videos → face crops + wav (offline)")
     p.add_argument("--data-root", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--filelist", default=None)
     p.add_argument("--host-id", type=int, default=0)
     p.add_argument("--num-hosts", type=int, default=1)
+    p.add_argument("--s3fd-checkpoint", default=None,
+                   help="ported s3fd.pth params (port-s3fd --out); without "
+                        "it the face detector is random-init")
 
     p = _base_parser(sub, "build-frame-index", "videos → diffusion FrameItem index")
     p.add_argument("--data-root", required=True)
@@ -166,6 +184,9 @@ def main(argv: List[str] | None = None) -> int:
     p.add_argument("--landmark-checkpoint", default=None,
                    help="trained lip-landmark params (train-landmark --out); "
                         "defaults to the geometric mouth-box estimate")
+    p.add_argument("--s3fd-checkpoint", default=None,
+                   help="ported s3fd.pth params (port-s3fd --out); without "
+                        "it the face detector is random-init")
 
     p = _base_parser(sub, "sample-diffusion", "reverse-diffusion sampling")
     p.add_argument("--checkpoint", default=None,
@@ -201,6 +222,10 @@ def main(argv: List[str] | None = None) -> int:
                    metavar=("Y1", "Y2", "X1", "X2"))
     p.add_argument("--rotate", action="store_true")
     p.add_argument("--nosmooth", action="store_true")
+    p.add_argument("--s3fd-checkpoint", default=None,
+                   help="ported s3fd.pth params (port-s3fd --out); without "
+                        "it the face detector is random-init and the "
+                        "pipeline falls back to whole-frame boxes")
 
     args = parser.parse_args(argv)
     try:
@@ -209,18 +234,29 @@ def main(argv: List[str] | None = None) -> int:
         parser.error(str(e))
     _enable_compile_cache()
 
-    if args.cmd == "preprocess-gan":
-        import jax
+    if args.cmd == "port-s3fd":
+        from .models.ports import port_s3fd
 
+        port_s3fd(args.pth, args.out)
+        print(f"ported s3fd.pth → {args.out}")
+        return 0
+
+    if args.cmd == "port-densenet":
+        from .models.ports import port_densenet
+
+        port_densenet(args.pth, args.out)
+        print(f"ported densenet121 → {args.out}")
+        return 0
+
+    if args.cmd == "preprocess-gan":
         from .data.manifest import build_manifest, read_filelist
-        from .models.s3fd import S3FD
+        from .models.ports import s3fd_params_or_init
         from .pipelines.offline_preprocess import preprocess_dataset
 
         filelist = read_filelist(args.filelist) if args.filelist else None
         records, skipped = build_manifest(args.data_root, filelist)
         print(f"{len(records)} clips ({skipped} skipped)")
-        s3fd = S3FD()
-        params = s3fd.init(jax.random.key(0), np.zeros((1, 128, 128, 3), np.float32))["params"]
+        params = s3fd_params_or_init(args.s3fd_checkpoint)
         ok, failed = preprocess_dataset(params, records, args.out, cfg.preprocess,
                                         args.host_id, args.num_hosts)
         print(f"ok={ok} failed={failed}")
@@ -441,6 +477,8 @@ def main(argv: List[str] | None = None) -> int:
             checkpoint_every=args.checkpoint_every,
             metrics_writer=Metrics(ConsoleWriter(every=10)),
             steps_per_dispatch=args.steps_per_dispatch,
+            eval_batch_fn=batch_fn,          # held-out pull from the feed
+            eval_every=args.checkpoint_every,
         )
         return 0
 
@@ -460,6 +498,7 @@ def main(argv: List[str] | None = None) -> int:
         state, stats = lipreading_e2e.run(
             cfg, args.data_root, num_epochs=args.epochs, max_clips=args.max_clips,
             landmark_checkpoint=args.landmark_checkpoint,
+            s3fd_checkpoint=args.s3fd_checkpoint,
         )
         print(f"word accuracy={stats.get('accuracy'):.4f} "
               f"sentence accuracy={stats.get('sentence_accuracy'):.4f}")
@@ -534,7 +573,7 @@ def main(argv: List[str] | None = None) -> int:
         import jax
 
         from .models.generator import TalkingFaceGenerator
-        from .models.s3fd import S3FD
+        from .models.ports import s3fd_params_or_init
         from .pipelines.inference import lipsync_video
 
         import jax.numpy as jnp
@@ -551,8 +590,7 @@ def main(argv: List[str] | None = None) -> int:
                 jax.random.key(cfg.seed),
                 jnp.zeros((1, 80, 16, 1)), jnp.zeros((1, 96, 96, 6)),
             )["params"]
-        s3fd = S3FD()
-        s3fd_params = s3fd.init(jax.random.key(0), np.zeros((1, 128, 128, 3), np.float32))["params"]
+        s3fd_params = s3fd_params_or_init(args.s3fd_checkpoint)
         res = lipsync_video(gen_params, s3fd_params, args.face, args.audio, args.out,
                             cfg.gan, cfg.audio, cfg.preprocess, static_frame=args.static,
                             model_width=cfg.gan.model_width,

@@ -156,6 +156,13 @@ class ViViTConfig:
     lr_step_gamma: float = 0.2
     num_epochs: int = 10
     dtype: str = "bfloat16"
+    # Long-context hook (SURVEY.md §5): route encoder attention through the
+    # sequence-parallel ring (ops/ring_attention.py) — tokens shard over
+    # ``sequence_axis`` and K/V shards rotate via ppermute. Only active when
+    # a physical mesh with that axis (size > 1) is live; falls back to local
+    # flash attention otherwise.
+    sequence_parallel: bool = False
+    sequence_axis: str = "model"
 
 
 @dataclass(frozen=True)

@@ -410,6 +410,91 @@ def synthetic_gan_clips(
     return out
 
 
+def synthetic_av_clips(
+    n_clips: int = 6, frames: int = 50, img: int = 96, seed: int = 0,
+    sr: int = 16000, fps: float = 25.0, with_text: bool = False,
+) -> List[GanClip]:
+    """Audio-visually CORRELATED clips: per-frame mouth aperture tracks the
+    audio amplitude envelope, so a sync expert trained on them must learn
+    the actual audio↔lip correspondence (and can be tested for
+    discrimination, not just finite losses). This is the in-framework
+    stand-in for real LRS2 clips in the expert-chain proof tests — the role
+    the reference's pretrained lipsync_expert.pth plays in gating GAN
+    training (gan-model/train_lipreading.py:187-192).
+
+    Construction: a smooth per-frame envelope a_t ∈ (0, 1] drives BOTH the
+    waveform (amplitude-modulated tone, per-sample interpolated) and the
+    mouth opening (a dark mouth ellipse whose height is ∝ a_t) on a static
+    synthetic face. Eyes/face are static so ONLY the mouth carries temporal
+    information.
+    """
+    rng = np.random.default_rng(seed)
+    spf = int(sr / fps)  # samples per frame
+    words = ["hello", "world", "about", "place", "think", "right"]
+    out = []
+    yy, xx = np.mgrid[0:img, 0:img].astype(np.float32)
+    for i in range(n_clips):
+        env = rng.uniform(0.05, 1.0, frames)
+        env = np.convolve(env, [0.25, 0.5, 0.25], mode="same")
+        env = env / env.max()
+        # waveform: a harmonic stack whose SPECTRAL CENTROID (formant-like
+        # peak) tracks the envelope, plus amplitude modulation. Mouth
+        # aperture ↔ formant frequency is the physically-sensible coupling,
+        # and a spectral-PATTERN cue survives the per-sample normalization
+        # inside the towers (GroupNorm) that an amplitude-only cue does not.
+        t_frame = (np.arange(frames) + 0.5) * spf
+        t_sample = np.arange(frames * spf, dtype=np.float32)
+        env_s = np.interp(t_sample, t_frame, env)
+        f0 = 110.0 + 13.0 * i
+        centroid = 400.0 + 3000.0 * env_s          # per-sample formant target
+        carrier = np.zeros_like(t_sample)
+        for h in range(1, 31):
+            fh = f0 * h
+            if fh > 7000:
+                break
+            weight = np.exp(-((fh - centroid) / 800.0) ** 2)
+            carrier += weight * np.sin(2 * np.pi * fh * t_sample / sr)
+        carrier = carrier / (np.abs(carrier).max() + 1e-6)
+        wav = ((0.3 + 0.6 * env_s) * carrier).astype(np.float32)
+
+        skin = int(rng.integers(150, 200))
+        base = np.full((img, img, 3), int(rng.integers(60, 100)), np.uint8)
+        face = ((xx - img / 2) ** 2 / (img * 0.42) ** 2
+                + (yy - img / 2) ** 2 / (img * 0.48) ** 2) <= 1.0
+        base[face] = (skin, max(0, skin - 30), max(0, skin - 45))
+        for ex in (img * 3 // 8, img * 5 // 8):   # static eyes
+            eye = ((xx - ex) ** 2 + (yy - img * 3 // 8) ** 2) <= (img * 0.04) ** 2
+            base[eye] = 25
+        cy, cx = img * 0.72, img * 0.5
+        mouth_w = img * 0.24
+        f = np.repeat(base[None], frames, axis=0)
+        for t in range(frames):
+            ap = 1.5 + env[t] * img * 0.13     # half-height of the opening
+            mouth = ((xx - cx) ** 2 / mouth_w ** 2
+                     + (yy - cy) ** 2 / ap ** 2) <= 1.0
+            f[t][mouth] = 15
+        # mild sensor noise so the discriminator sees texture
+        f = np.clip(f.astype(np.int16) + rng.integers(-6, 7, f.shape), 0, 255
+                    ).astype(np.uint8)
+        text = None
+        if with_text:
+            text = " ".join(words[int(j)] for j in rng.integers(0, len(words), 3))
+        out.append(GanClip(f, wav, text=text))
+    return out
+
+
+def mouth_aperture_proxy(frames01: np.ndarray, img: Optional[int] = None) -> np.ndarray:
+    """Per-frame mouth-opening measure for synthetic_av_clips faces: mean
+    darkness over the mouth region box. frames01: (..., H, W, 3) in [0, 1].
+    Used by the expert-chain proof tests to check that generated mouths
+    track audio energy."""
+    h = frames01.shape[-3]
+    y0, y1 = int(h * 0.58), int(h * 0.86)
+    x0, x1 = int(h * 0.28), int(h * 0.72)
+    region = frames01[..., y0:y1, x0:x1, :]
+    return 1.0 - region.mean(axis=(-1, -2, -3))
+
+
 def synthetic_word_clips(
     n: int = 64, t: int = 5, hw: int = 32, num_classes: int = 8, seed: int = 0
 ):

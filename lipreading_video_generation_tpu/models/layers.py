@@ -138,7 +138,13 @@ class MLP(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        from ..parallel.mesh import activation_constraint
+
         x = nn.Dense(self.hidden, dtype=self.dtype)(x)
+        # tensor-parallel hint: the hidden kernel shards on its output dim
+        # over the model axis (parallel/mesh.param_partition_spec), so pin
+        # the activation to the matching layout (no-op off-mesh / pure DP)
+        x = activation_constraint(x, "data", *([None] * (x.ndim - 2)), "model")
         x = nn.gelu(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(self.out, dtype=self.dtype)(x)
@@ -148,23 +154,59 @@ class MLP(nn.Module):
 
 class TransformerBlock(nn.Module):
     """Pre-LN transformer encoder block over (B, S, E), attention via the
-    shared flash-attention primitive (ops/attention.py)."""
+    shared flash-attention primitive (ops/attention.py).
+
+    ``ring_axis`` routes attention through the sequence-parallel ring
+    (ops/ring_attention.py) when a physical mesh with that axis (size > 1)
+    is live: the token axis shards over the mesh axis and K/V shards rotate
+    via ``ppermute`` over ICI. Off-mesh (unit tests, single chip) the same
+    model definition falls back to local flash attention — long-context
+    scale-out is a mesh-axis change, not a model rewrite (SURVEY.md §5).
+    """
 
     num_heads: int
     mlp_dim: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    ring_axis: str = None
+
+    def _live_ring_mesh(self):
+        if self.ring_axis is None:
+            return None
+        from jax._src import mesh as mesh_lib
+
+        env_mesh = mesh_lib.thread_resources.env.physical_mesh
+        if env_mesh.empty or dict(env_mesh.shape).get(self.ring_axis, 1) <= 1:
+            return None
+        return env_mesh
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         from ..ops.attention import mha
 
+        from ..parallel.mesh import activation_constraint
+
         e = x.shape[-1]
         h = nn.LayerNorm(dtype=self.dtype)(x)
         # fused QKV projection: one (e, 3e) matmul instead of three (e, e)
         qkv = nn.Dense(3 * e, dtype=self.dtype, name="qkv")(h)
+        # TP hint matching the qkv kernel's output-dim sharding (see MLP)
+        qkv = activation_constraint(qkv, "data", None, "model")
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        attn = mha(q, k, v, self.num_heads)
+        ring_mesh = self._live_ring_mesh()
+        if ring_mesh is not None:
+            from ..ops.ring_attention import ring_attention
+
+            b, s, _ = q.shape
+            hd = e // self.num_heads
+            to_heads = lambda t: t.reshape(b, s, self.num_heads, hd).transpose(0, 2, 1, 3)
+            out = ring_attention(
+                to_heads(q), to_heads(k), to_heads(v),
+                mesh=ring_mesh, axis_name=self.ring_axis,
+            )
+            attn = out.transpose(0, 2, 1, 3).reshape(b, s, e)
+        else:
+            attn = mha(q, k, v, self.num_heads)
         attn = nn.Dense(e, dtype=self.dtype, name="proj")(attn)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         x = x + attn

@@ -1,0 +1,158 @@
+"""Pretrained-weight ports: torch ``.pth`` state dicts → framework params.
+
+The reference's every real run rests on two pretrained perception nets:
+S3FD ``s3fd.pth`` (loaded at gan-model/preprocessing/face_detection/
+detection/sfd/sfd_detector.py:16-27) and imagenet DenseNet121
+(lipreading/feature_extraction.py:23-28). This module is the end-to-end
+port path: read the torch checkpoint on the host (torch is a port-time-only
+dependency, never touched by the TPU compute path), convert layouts via the
+model modules' converters, and save an Orbax artifact the serving/
+preprocessing CLIs load with ``--s3fd-checkpoint`` / ``--densenet-checkpoint``.
+
+Whole-model parity (not just per-layer numerics) is pinned by
+tests/test_torch_parity.py: the reference's own ``net_s3fd.py`` definition
+with seeded weights vs the converted Flax model — detection heads AND
+boxes after NMS; a torchvision-layout DenseNet121 vs the Flax one —
+pooled 1024-d features.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _load_torch_state_dict(pth_path: str) -> Dict[str, np.ndarray]:
+    """Read a torch checkpoint into plain numpy (host-side, CPU-only).
+
+    Accepts both a bare state_dict and the common ``{"state_dict": ...}``
+    wrapper; strips DataParallel ``module.`` prefixes like the reference's
+    load_checkpoint (gan-model/train_lipreading.py:285-305).
+    """
+    import torch
+
+    obj = torch.load(pth_path, map_location="cpu", weights_only=True)
+    if isinstance(obj, dict) and "state_dict" in obj and all(
+        not hasattr(v, "numpy") for k, v in obj.items() if k != "state_dict"
+    ):
+        obj = obj["state_dict"]
+    out: Dict[str, np.ndarray] = {}
+    for k, v in obj.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return out
+
+
+# --------------------------------------------------------------------------
+# S3FD
+# --------------------------------------------------------------------------
+
+def port_s3fd(pth_path: str, out_path: str) -> Any:
+    """``s3fd.pth`` → Orbax ``{"s3fd": params}`` artifact; returns params."""
+    from ..core.checkpoint import save_once
+    from .s3fd import convert_torch_state_dict
+
+    params = convert_torch_state_dict(_load_torch_state_dict(pth_path))
+    _validate_against_init(params, _s3fd_template())
+    save_once(out_path, {"s3fd": params})
+    return params
+
+
+def _s3fd_template():
+    from .s3fd import S3FD
+
+    return S3FD().init(
+        jax.random.key(0), np.zeros((1, 64, 64, 3), np.float32)
+    )["params"]
+
+
+def load_s3fd_params(checkpoint_path: str) -> Any:
+    """Load ported S3FD params (port-s3fd --out artifact)."""
+    from ..core.checkpoint import load_once
+
+    return load_once(checkpoint_path, {"s3fd": _s3fd_template()})["s3fd"]
+
+
+def s3fd_params_or_init(checkpoint_path: Optional[str], seed: int = 0) -> Any:
+    """The serving-side switch: ported weights when a checkpoint is given,
+    seeded random init otherwise (with a loud warning — a random detector
+    emits garbage boxes and downstream falls back to whole-frame crops)."""
+    if checkpoint_path:
+        return load_s3fd_params(checkpoint_path)
+    import sys
+
+    from .s3fd import S3FD
+
+    print(
+        "warning: no --s3fd-checkpoint — face detector is RANDOM-INIT; "
+        "detections will be garbage (run port-s3fd on s3fd.pth first)",
+        file=sys.stderr,
+    )
+    return S3FD().init(
+        jax.random.key(seed), np.zeros((1, 64, 64, 3), np.float32)
+    )["params"]
+
+
+# --------------------------------------------------------------------------
+# DenseNet121
+# --------------------------------------------------------------------------
+
+def port_densenet(pth_path: str, out_path: str) -> Tuple[Any, Any]:
+    """torchvision ``densenet121`` state_dict → Orbax
+    ``{"params": ..., "batch_stats": ...}``; returns (params, batch_stats)."""
+    from ..core.checkpoint import save_once
+    from .densenet import convert_torch_state_dict
+
+    params, stats = convert_torch_state_dict(_load_torch_state_dict(pth_path))
+    tmpl_p, tmpl_s = _densenet_template()
+    _validate_against_init(params, tmpl_p)
+    _validate_against_init(stats, tmpl_s)
+    save_once(out_path, {"params": params, "batch_stats": stats})
+    return params, stats
+
+
+def _densenet_template():
+    from .densenet import DenseNet121
+
+    variables = DenseNet121().init(
+        jax.random.key(0), np.zeros((1, 32, 32, 3), np.float32)
+    )
+    return variables["params"], variables["batch_stats"]
+
+
+def load_densenet_variables(checkpoint_path: str) -> Dict[str, Any]:
+    """Load ported DenseNet121 variables ready for ``model.apply``."""
+    from ..core.checkpoint import load_once
+
+    tmpl_p, tmpl_s = _densenet_template()
+    restored = load_once(checkpoint_path, {"params": tmpl_p, "batch_stats": tmpl_s})
+    return {"params": restored["params"], "batch_stats": restored["batch_stats"]}
+
+
+# --------------------------------------------------------------------------
+# shared validation
+# --------------------------------------------------------------------------
+
+def _validate_against_init(converted, template) -> None:
+    """Converted tree must cover the init tree exactly (same paths, same
+    shapes) — catches silently-dropped or misnamed torch keys at port time
+    instead of at first garbage inference."""
+    conv = {jax.tree_util.keystr(p): np.shape(v)
+            for p, v in jax.tree_util.tree_flatten_with_path(converted)[0]}
+    tmpl = {jax.tree_util.keystr(p): np.shape(v)
+            for p, v in jax.tree_util.tree_flatten_with_path(template)[0]}
+    missing = sorted(set(tmpl) - set(conv))
+    extra = sorted(set(conv) - set(tmpl))
+    if missing or extra:
+        raise ValueError(
+            f"port mismatch: missing={missing[:5]} extra={extra[:5]} "
+            f"({len(missing)} missing / {len(extra)} extra total)"
+        )
+    bad = [k for k in tmpl if tmpl[k] != conv[k]]
+    if bad:
+        raise ValueError(
+            f"port shape mismatch on {bad[:5]} "
+            f"(e.g. {bad[0]}: want {tmpl[bad[0]]}, got {conv[bad[0]]})"
+        )

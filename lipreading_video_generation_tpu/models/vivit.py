@@ -65,7 +65,8 @@ class ViViT(nn.Module):
         x = nn.Dropout(c.dropout)(x, deterministic=deterministic)
         for i in range(c.num_layers):
             x = TransformerBlock(
-                c.num_heads, c.mlp_dim, c.dropout, dtype=dtype, name=f"block_{i}"
+                c.num_heads, c.mlp_dim, c.dropout, dtype=dtype, name=f"block_{i}",
+                ring_axis=c.sequence_axis if c.sequence_parallel else None,
             )(x, deterministic)
         x = nn.LayerNorm(dtype=dtype)(x)
         x = x.mean(axis=1)

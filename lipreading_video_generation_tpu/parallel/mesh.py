@@ -145,12 +145,50 @@ def shard_params(spec: MeshSpec, params):
     return jax.tree_util.tree_map(_put, params)
 
 
+def shard_state(spec: MeshSpec, tree):
+    """Place a FULL train-state pytree on the mesh through the
+    ``param_partition_spec`` policy: large 2-D+ kernels (params, their Adam
+    moments, EMA shadows — all shape-mirrored leaves) shard over the model
+    axis; scalars/small leaves replicate. Under pure DP (model axis size 1)
+    this degenerates to ``replicate_state`` exactly, so the production
+    loops call it unconditionally."""
+    return shard_params(spec, tree)
+
+
 def replicate_state(spec: MeshSpec, tree):
     """Replicate every array leaf of a train-state pytree over the mesh —
-    the standard DP layout (params/opt/EMA live on every chip; psum'd grads
-    keep them in sync)."""
+    the pure-DP layout (params/opt/EMA live on every chip; psum'd grads
+    keep them in sync). Production loops use ``shard_state`` instead, which
+    is identical when the model axis is 1."""
     sharding = replicated(spec)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def activation_constraint(x, *parts):
+    """``with_sharding_constraint(x, P(*parts))`` when a physical mesh with
+    the named axes (sized > 1) is active; identity otherwise — so model code
+    can annotate tensor-parallel activation layouts unconditionally and
+    still run un-meshed (unit tests, single chip).
+
+    The trace cache keys on the ambient resource env, so the same model
+    traced with and without a live mesh compiles separately."""
+    from jax._src import mesh as mesh_lib
+
+    env_mesh = mesh_lib.thread_resources.env.physical_mesh
+    if env_mesh.empty:
+        return x
+    names = dict(env_mesh.shape)
+    axes = [
+        ax
+        for p in parts
+        for ax in (p if isinstance(p, (tuple, list)) else (p,))
+        if ax is not None
+    ]
+    if any(ax not in names for ax in axes):
+        return x
+    if all(names[ax] == 1 for ax in axes):
+        return x
+    return jax.lax.with_sharding_constraint(x, P(*parts))
 
 
 def per_device_batch(global_batch: int, spec: MeshSpec) -> int:

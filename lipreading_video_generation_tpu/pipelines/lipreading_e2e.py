@@ -91,9 +91,14 @@ def run(
     max_clips: Optional[int] = None,
     metrics_writer=None,
     landmark_checkpoint: Optional[str] = None,
+    s3fd_checkpoint: Optional[str] = None,
 ) -> Tuple[train_vivit.TrainState, Dict[str, float]]:
     """Full pipeline: manifest → word clips → ViViT train → word accuracy +
-    sentence-level beam-search accuracy (main.py:29-62 + sentence_eval)."""
+    sentence-level beam-search accuracy (main.py:29-62 + sentence_eval).
+
+    ``s3fd_checkpoint`` (port-s3fd --out) swaps the random-init face
+    detector for the ported pretrained one — without it detection emits
+    garbage and ROI extraction falls back to whole-frame boxes."""
     from ..core.config import replace as cfg_replace
 
     landmark_params = None
@@ -101,9 +106,15 @@ def run(
         from .train_landmark import load_params
 
         landmark_params = load_params(landmark_checkpoint)
+    s3fd_params = None
+    if s3fd_checkpoint is not None:
+        from ..models.ports import load_s3fd_params
+
+        s3fd_params = load_s3fd_params(s3fd_checkpoint)
     records, skipped = build_manifest(data_root, require_transcript=True)
     ds = build_word_clip_dataset(
-        cfg, records, max_clips=max_clips, landmark_params=landmark_params
+        cfg, records, s3fd_params=s3fd_params, max_clips=max_clips,
+        landmark_params=landmark_params,
     )
     if not ds.clips:
         raise ValueError(f"no word clips extracted from {data_root!r} ({skipped} skipped)")
@@ -136,7 +147,10 @@ def run(
     fixed = np.stack([sampler._fix(c) for c in ds.clips])
     logp = np.asarray(train_vivit.predict_step(state, jnp.asarray(fixed)))
     vocab_list = [w for w, _ in sorted(ds.vocab.items(), key=lambda kv: kv[1])]
-    scorer = se.NgramScorer().fit(ds.transcripts)
+    # trained neural LM over the dataset's own transcripts (the reference's
+    # DistilBERT-CoLA role, sentence_eval.py:37-38); bigram fallback when
+    # transcripts are too few to train on
+    scorer = se.fit_default_scorer(ds.transcripts, seed=cfg.seed)
     sent_acc = se.evaluate_sentences(
         logp, ds.labels, ds.sentence_start_idx, vocab_list, scorer,
         word_top_k=cfg.sentence_eval.word_top_k,

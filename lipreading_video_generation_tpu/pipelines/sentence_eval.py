@@ -8,17 +8,23 @@ candidate sentences, count the sentence correct if the ground truth is
 among them.
 
 The LM scorer is **pluggable** (SURVEY.md §7 hard part #6): any callable
-``scorer(sentence: str) -> float`` (higher = more acceptable). Provided:
+``scorer(sentence: str) -> float`` (higher = more acceptable); a scorer may
+also expose ``score_batch(sentences) -> list[float]``. Provided:
 
-- ``NgramScorer`` — JAX-free, dependency-free bigram log-likelihood scorer
-  trainable on the dataset's own transcripts (the default; no torch at
-  runtime).
+- ``NeuralScorer`` — a native word-level transformer LM pretrained on the
+  dataset's own transcripts (models/word_lm.py), the trained-LM default:
+  captures longer-range structure a bigram cannot (A/B pinned in
+  tests/test_sentence_eval.py), with true batched scoring.
+- ``NgramScorer`` — JAX-free, dependency-free bigram log-likelihood
+  fallback for tiny transcript sets.
 - ``make_hf_cola_scorer`` — the reference's DistilBERT-CoLA scorer
   (sentence_eval.py:25-34,37-38) when transformers+torch are available.
 
 Batching fix vs the reference: the reference calls the LM once per
 candidate (sentence_eval.py:10,19) — ``beam_search`` here scores each
-expansion level in one batched call via ``scorer_batch``.
+expansion level in ONE call through the scorer's ``score_batch`` when it
+has one (NeuralScorer jits a single padded batch), falling back to
+per-candidate calls for plain-callable scorers.
 """
 from __future__ import annotations
 
@@ -61,6 +67,64 @@ class NgramScorer:
         return lp / max(1, len(words) - 1)  # length-normalized
 
 
+class NeuralScorer:
+    """Trained word-transformer acceptability scorer (models/word_lm.py).
+
+    ``fit(transcripts)`` pretrains the LM on the dataset's own transcripts
+    (seconds at this scale); ``score_batch`` scores a whole beam-expansion
+    level in one jitted call. Length-normalized log-likelihood, same scale
+    convention as NgramScorer.
+    """
+
+    def __init__(self, max_len: int = 32, steps: int = 400, seed: int = 0,
+                 hidden: int = 64, num_layers: int = 2):
+        self.max_len = max_len
+        self.steps = steps
+        self.seed = seed
+        self.hidden = hidden
+        self.num_layers = num_layers
+        self.params = None
+        self.vocab = None
+        self.model = None
+        self._ll = None
+
+    def fit(self, sentences: Sequence[str]) -> "NeuralScorer":
+        import jax
+
+        from ..models import word_lm
+
+        self.params, self.vocab, self.model = word_lm.train_word_lm(
+            list(sentences), max_len=self.max_len, steps=self.steps,
+            seed=self.seed, hidden=self.hidden, num_layers=self.num_layers,
+        )
+        model = self.model
+        self._ll = jax.jit(
+            lambda params, toks: word_lm.sequence_log_likelihood(params, model, toks)
+        )
+        return self
+
+    def score_batch(self, sentences: Sequence[str]) -> List[float]:
+        import jax.numpy as jnp
+
+        from ..models import word_lm
+
+        toks = word_lm.encode_sentences(list(sentences), self.vocab, self.max_len)
+        return [float(x) for x in np.asarray(self._ll(self.params, jnp.asarray(toks)))]
+
+    def __call__(self, sentence: str) -> float:
+        return self.score_batch([sentence])[0]
+
+
+def fit_default_scorer(transcripts: Sequence[str], min_sentences: int = 8,
+                       seed: int = 0):
+    """The default scorer policy: trained NeuralScorer when there are enough
+    transcripts to learn from, bigram fallback otherwise."""
+    transcripts = [t for t in transcripts if t and t.strip()]
+    if len(transcripts) >= min_sentences:
+        return NeuralScorer(seed=seed).fit(transcripts)
+    return NgramScorer().fit(transcripts)
+
+
 def make_hf_cola_scorer(model_name: str = "textattack/distilbert-base-uncased-CoLA"):
     """The reference's DistilBERT-CoLA acceptability scorer
     (sentence_eval.py:25-34). Optional torch path; import-gated."""
@@ -80,6 +144,15 @@ def make_hf_cola_scorer(model_name: str = "textattack/distilbert-base-uncased-Co
     return scorer
 
 
+def _score_all(scorer: Callable[[str], float], sentences: Sequence[str]) -> List[float]:
+    """One beam-expansion level of scores: batched through the scorer's
+    ``score_batch`` when it has one, per-candidate calls otherwise."""
+    batch_fn = getattr(scorer, "score_batch", None)
+    if batch_fn is not None:
+        return list(batch_fn(sentences))
+    return [scorer(s) for s in sentences]
+
+
 def beam_search(
     scorer: Callable[[str], float],
     possible_words: Sequence[Sequence[str]],
@@ -87,7 +160,9 @@ def beam_search(
     k: int = 5,
 ) -> List[str]:
     """Slot-wise beam search (sentence_eval.py:5-23): expand every beam by
-    each slot candidate, keep beam_width by LM score, return top-k."""
+    each slot candidate, keep beam_width by LM score, return top-k. Each
+    expansion level is scored via ``_score_all`` (one batched call for
+    batch-capable scorers)."""
     if not possible_words:
         return []
     beams: List[Tuple[float, str]] = [(0.0, "")]
@@ -97,7 +172,8 @@ def beam_search(
             for word in slot:
                 cand = (prefix + " " + word).strip()
                 expansions.append(cand)
-        scored = sorted(((scorer(c), c) for c in expansions), reverse=True)
+        scores = _score_all(scorer, expansions)
+        scored = sorted(zip(scores, expansions), reverse=True)
         beams = scored[:beam_width]
     return [c for _, c in beams[:k]]
 

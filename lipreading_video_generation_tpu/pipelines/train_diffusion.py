@@ -193,21 +193,26 @@ def train(
     checkpoint_every: int = 500,
     mesh_spec=None,
     steps_per_dispatch: int = 4,
+    eval_batch_fn=None,
+    eval_every: int = 500,
 ) -> DiffusionTrainState:
     """Step-driven loop (train.py:107-137 shape, step- not epoch-indexed):
     q-sample + ε-MSE per step on the data-parallel mesh; periodic Orbax
     checkpoints of the FULL train state (params + EMA + optimizer + step)
     replacing the reference's bare per-epoch state_dict overwrite
     (train.py:137). ``steps_per_dispatch`` > 1 scans that many steps per
-    device program (``train_scan``), chunks aligned to checkpoint
-    boundaries."""
+    device program (``train_scan``), chunks aligned to checkpoint/eval
+    boundaries. ``eval_batch_fn`` enables a held-out ε-MSE every
+    ``eval_every`` steps (the reference's diffusion driver splits a val set,
+    train.py:66-67, but never evaluates on it — upgraded here to match the
+    GAN loop's eval cadence)."""
     from ..core import prng
     from ..core.checkpoint import CheckpointManager
     from ..core.config import MeshConfig
     from ..data.loader import host_prefetch, stack_batches, take
     from ..parallel.mesh import (
         build_mesh,
-        replicate_state,
+        shard_state,
         shard_batch,
         shard_stacked_batch,
     )
@@ -222,13 +227,17 @@ def train(
         start_step = int(mgr.latest_step())
         state = restore_state(state, restored)
     with spec.mesh:
-        state = replicate_state(spec, state)
+        # params/opt/EMA placed via the TP-aware policy (pure-DP
+        # meshes replicate; model axis >1 shards large kernels)
+        state = shard_state(spec, state)
         feed = host_prefetch(batch_fn, depth=2 * steps_per_dispatch)
         step = start_step
         while step < num_steps:
-            nxt = min(num_steps, step + steps_per_dispatch,
-                      step + checkpoint_every - (step % checkpoint_every))
-            raws = take(feed, max(1, nxt - step))
+            bounds = [num_steps, step + steps_per_dispatch,
+                      step + checkpoint_every - (step % checkpoint_every)]
+            if eval_batch_fn is not None:
+                bounds.append(step + eval_every - (step % eval_every))
+            raws = take(feed, max(1, min(bounds) - step))
             if not raws:
                 break   # finite feed exhausted
             n = len(raws)
@@ -248,6 +257,19 @@ def train(
                         metrics_writer.write(step + i,
                                              {k: v[i] for k, v in ms.items()})
             step += n
+            if eval_batch_fn is not None and step % eval_every == 0:
+                # held-out ε-MSE; if caller passed the SAME callable for
+                # train and eval, pull from the producer feed (fresh AND
+                # free of shared-sampler thread races) like the GAN loop
+                if eval_batch_fn is batch_fn:
+                    nb = take(feed, 1)
+                    eb = shard_batch(spec, nb[0]) if nb else None
+                else:
+                    eb = shard_batch(spec, eval_batch_fn())
+                if eb is not None:
+                    em = eval_step(state, eb, prng.step_key(key, step), cfg)
+                    if metrics_writer is not None:
+                        metrics_writer.write(step - 1, em)
             if mgr is not None and step % checkpoint_every == 0:
                 mgr.save(step, checkpoint_tree(state))
     if mgr is not None:

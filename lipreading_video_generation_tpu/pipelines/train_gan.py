@@ -165,9 +165,16 @@ def _gan_train_step_impl(
     dtype = jnp.dtype(cfg.dtype)
     gen = TalkingFaceGenerator(width=cfg.model_width, dtype=dtype)
     disc = Discriminator(width=cfg.model_width, dtype=dtype)
+    # Per-step PRNG: fold the (traced) step counter into the caller's key so
+    # scanned steps (gan_train_scan) are never key-identical — mirrors
+    # train_diffusion's step-keyed folding. G/D currently have no dropout or
+    # noise layers; the key is threaded to the generator so any future
+    # stochastic layer inherits step-unique randomness for free.
+    step_key = prng.step_key(key, state.step)
 
     def g_loss_fn(gen_params):
-        g = gen.apply({"params": gen_params}, prep["indiv_mels"], prep["x"])
+        g = gen.apply({"params": gen_params}, prep["indiv_mels"], prep["x"],
+                      rngs={"dropout": step_key})
         recon = losses.l1(g, prep["gt"])
         sync = _sync_loss(state.syncnet_params, prep["mel"], g, cfg)
         fake_pred = disc.apply({"params": state.disc_params}, g)
@@ -251,7 +258,10 @@ def gan_train_scan(
     Profiled at the reference config (scripts/profile_gan_train.py): the
     device step is 59 ms but a per-step dispatch costs 133 ms wall — the
     host→relay round trip costs more than the step itself. Scanning
-    amortizes it. Returns metrics stacked (N,) per key."""
+    amortizes it. Returns metrics stacked (N,) per key.
+
+    Per-step PRNG stays step-keyed: the impl folds ``key`` with
+    ``state.step``, which advances inside the scan."""
     def body(s, b):
         return _gan_train_step_impl(s, b, key, cfg, audio_cfg)
 
@@ -371,7 +381,7 @@ def train(
     from ..data.loader import host_prefetch, stack_batches, take
     from ..parallel.mesh import (
         build_mesh,
-        replicate_state,
+        shard_state,
         shard_batch,
         shard_stacked_batch,
     )
@@ -390,7 +400,9 @@ def train(
         start_step = int(mgr.latest_step())
         state = restore_state(state, restored)
     with spec.mesh:
-        state = replicate_state(spec, state)
+        # params/opt/EMA placed via the TP-aware policy (pure-DP
+        # meshes replicate; model axis >1 shards large kernels)
+        state = shard_state(spec, state)
         # host batches produced by a background thread (overlaps the
         # device's multi-step programs); feed end (StopIteration from
         # batch_fn) stops training cleanly mid-plan

@@ -149,7 +149,7 @@ def train(
     length, one extra compile per distinct length); singletons go stepwise.
     """
     from ..data.loader import host_prefetch, iterator_feed, stack_batches
-    from ..parallel.mesh import replicate_state, shard_stacked_batch
+    from ..parallel.mesh import shard_state, shard_stacked_batch
 
     spec = mesh_spec or build_mesh(cfg.mesh)
     key = prng.make_root_key(cfg.seed)
@@ -175,7 +175,9 @@ def train(
         return state
 
     with spec.mesh:
-        state = replicate_state(spec, state)
+        # params/opt/EMA placed via the TP-aware policy (pure-DP
+        # meshes replicate; model axis >1 shards large kernels)
+        state = shard_state(spec, state)
         for epoch in range(epochs):
             chunk = []
             for batch in host_prefetch(iterator_feed(iter(train_batches_fn()))):

@@ -29,9 +29,12 @@ def main():
 
     summary = {}
     summary["pipeline"] = run([sys.executable, "bench.py"])
+    summary["vivit_train"] = run([sys.executable, "scripts/bench_vivit_train.py", "--steps", "5"])
     summary["gan_train"] = run([sys.executable, "scripts/bench_gan.py", "--steps", "5"])
     if not args.skip_diffusion:
         summary["diffusion_sampling"] = run([sys.executable, "scripts/bench_diffusion.py"])
+        summary["diffusion_train"] = run(
+            [sys.executable, "scripts/bench_diffusion_train.py", "--steps", "3"])
     with open(os.path.join(ROOT, args.out), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary, indent=2))

@@ -56,12 +56,24 @@ def main():
     _ = np.asarray(x0)
     total = time.perf_counter() - t0
 
+    from lipreading_video_generation_tpu.utils.flops import compiled_flops, mfu_report
+
+    # per-denoise-step FLOPs from the compiled 50-step scan segment
+    seg = min(50, cfg.num_timesteps)
+    cond_map = sample_diffusion.encode_condition(state, cond, audio, cfg)
+    xt = jnp.zeros((args.batch, cfg.im_size, cfg.im_size, cfg.im_channels))
+    seg_flops = compiled_flops(
+        sample_diffusion._scan_segment, state, xt, cond_map,
+        jnp.arange(seg - 1, -1, -1), key, cfg)
+    step_flops = seg_flops / seg if seg_flops else None
+
     steps_per_sec = cfg.num_timesteps / total
     print(json.dumps({
         "metric": "diffusion_denoise_steps_per_sec",
         "value": round(steps_per_sec, 2),
         "unit": f"steps/sec @ {cfg.im_size}x{cfg.im_size} batch={args.batch}",
         "total_s": round(total, 3),
+        **mfu_report(step_flops, 1.0 / steps_per_sec),
     }))
 
 

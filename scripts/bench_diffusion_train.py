@@ -70,6 +70,10 @@ def main():
     _ = float(metrics["loss"])   # chain-terminating host fetch
     dt = (time.perf_counter() - t0) / args.steps
 
+    from lipreading_video_generation_tpu.utils.flops import compiled_flops, mfu_report
+
+    step_flops = compiled_flops(train_diffusion.train_step, state, batch, key, cfg)
+
     print(json.dumps({
         "metric": "diffusion_train_steps_per_sec",
         "value": round(1.0 / dt, 4),
@@ -77,6 +81,7 @@ def main():
         "sec_per_step": round(dt, 4),
         "batch": batch_size,
         "im_size": cfg.im_size,
+        **mfu_report(step_flops, dt),
     }))
 
 

@@ -49,6 +49,10 @@ def main():
     _ = float(metrics["loss/g_total"])  # chained through state
     total = time.perf_counter() - t0
 
+    from lipreading_video_generation_tpu.utils.flops import compiled_flops, mfu_report
+
+    step_flops = compiled_flops(train_gan.gan_train_step, state, batch, key, cfg)
+
     sps = args.steps / total
     print(json.dumps({
         "metric": "gan_train_steps_per_sec",
@@ -56,6 +60,7 @@ def main():
         "unit": f"steps/sec @ batch={args.batch} width={args.width}",
         "frames_per_sec": round(sps * args.batch * cfg.syncnet_T, 1),
         "step_ms": round(total / args.steps * 1000, 1),
+        **mfu_report(step_flops, total / args.steps),
     }))
 
 

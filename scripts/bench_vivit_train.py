@@ -1,0 +1,70 @@
+"""Benchmark the ViViT TRAIN step (batch 256 synthetic word clips) with
+FLOP/MFU accounting — the training-side counterpart of bench.py's
+preprocess+inference headline (reference trainer:
+lipreading/huggingface_vivit_model.py:35-64).
+
+Relay-proof timing: steps chain through the donated train state, so one
+scalar fetch bounds the run. Run: python scripts/bench_vivit_train.py
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir,
+                      ".jax_cache_tpu")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=10)
+    args = ap.parse_args()
+
+    from lipreading_video_generation_tpu.core.config import ViViTConfig
+    from lipreading_video_generation_tpu.pipelines import train_vivit
+    from lipreading_video_generation_tpu.utils.flops import compiled_flops, mfu_report
+
+    cfg = ViViTConfig(num_classes=64, batch_size=args.batch)
+    rng = np.random.default_rng(0)
+    key = jax.random.key(0)
+    state = train_vivit.create_state(cfg, key)
+    batch = {
+        "clips": jnp.asarray(rng.integers(
+            0, 256, (args.batch, cfg.num_frames, cfg.image_size, cfg.image_size,
+                     cfg.num_channels), dtype=np.uint8)),
+        "labels": jnp.asarray(rng.integers(0, cfg.num_classes, (args.batch,),
+                                           dtype=np.int32)),
+    }
+
+    state, metrics = train_vivit.train_step(state, batch, key)
+    _ = float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = train_vivit.train_step(state, batch, key)
+    _ = float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / args.steps
+
+    step_flops = compiled_flops(train_vivit.train_step, state, batch, key)
+    print(json.dumps({
+        "metric": "vivit_train_frames_per_sec",
+        "value": round(args.batch * cfg.num_frames / dt, 1),
+        "unit": f"frames/sec @ batch={args.batch}",
+        "steps_per_sec": round(1.0 / dt, 2),
+        **mfu_report(step_flops, dt),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -168,6 +168,81 @@ def test_diffusion_train_loop_runs_on_mesh():
     assert len(leaf.sharding.device_set) == 8
 
 
+@pytest.mark.slow
+def test_gan_train_loop_tp2():
+    """Production train_gan.train on a dp4×tp2 mesh: shard_state must
+    actually shard large generator kernels (and their Adam moments) over
+    the model axis — round-2 verdict: the model axis was cosmetic outside
+    the dryrun."""
+    from lipreading_video_generation_tpu.core.config import GanConfig
+    from lipreading_video_generation_tpu.data import datasets
+    from lipreading_video_generation_tpu.pipelines import train_gan
+
+    spec = pmesh.build_mesh(MeshConfig(model_parallel=2, model_shard_threshold=2048))
+    cfg = GanConfig(model_width=0.125, batch_size=8, dtype="float32")
+    clips = datasets.synthetic_gan_clips(n_clips=2, frames=20)
+    sampler = datasets.GanWindowSampler(clips, seed=0)
+    state = train_gan.train(cfg, lambda: sampler.sample_batch(8), num_steps=2,
+                            mesh_spec=spec)
+    assert int(state.step) == 2
+    gen_specs = [l.sharding.spec for l in jax.tree_util.tree_leaves(state.gen_params)
+                 if hasattr(l, "sharding")]
+    assert any("model" in str(s) for s in gen_specs), "no param sharded over model axis"
+    # Adam moments mirror the param placement (mu for a sharded kernel is sharded)
+    opt_specs = [l.sharding.spec for l in jax.tree_util.tree_leaves(state.gen_opt)
+                 if hasattr(l, "sharding") and l.ndim >= 2]
+    assert any("model" in str(s) for s in opt_specs)
+
+
+@pytest.mark.slow
+def test_diffusion_train_loop_tp2():
+    from lipreading_video_generation_tpu.core.config import DiffusionConfig
+    from lipreading_video_generation_tpu.pipelines import train_diffusion
+
+    spec = pmesh.build_mesh(MeshConfig(model_parallel=2, model_shard_threshold=512))
+    cfg = DiffusionConfig(
+        im_size=16, base_channels=8, channel_mult=(1, 2), num_res_blocks=1,
+        attention_resolutions=(2,), num_heads=2, time_embed_dim=16,
+        audio_embed_dim=16, audio_proj_dim=4, im_cond_channels=4,
+        audio_samples=800, num_timesteps=10, dtype="float32",
+    )
+    rng = np.random.default_rng(0)
+
+    def batch_fn():
+        return {
+            "cond_frame": rng.integers(0, 256, (8, 20, 20, 3), dtype=np.uint8),
+            "target_frame": rng.integers(0, 256, (8, 20, 20, 3), dtype=np.uint8),
+            "audio": rng.standard_normal((8, 800)).astype(np.float32),
+        }
+
+    state = train_diffusion.train(cfg, batch_fn, num_steps=2, mesh_spec=spec)
+    assert int(state.step) == 2
+    specs = [l.sharding.spec for l in jax.tree_util.tree_leaves(state.params)
+             if hasattr(l, "sharding")]
+    assert any("model" in str(s) for s in specs), "no param sharded over model axis"
+    # EMA shadow mirrors the param placement
+    ema_specs = [l.sharding.spec for l in jax.tree_util.tree_leaves(state.ema_params)
+                 if hasattr(l, "sharding")]
+    assert any("model" in str(s) for s in ema_specs)
+
+
+def test_activation_constraint_noop_offmesh():
+    """activation_constraint is identity without a live mesh and under a
+    size-1 model axis; applies the constraint on a real tp mesh."""
+    x = jnp.ones((4, 8))
+    assert pmesh.activation_constraint(x, "data", "model") is x
+    spec = _spec()   # model axis size 1
+    with spec.mesh:
+        assert pmesh.activation_constraint(x, None, "model") is x
+    spec2 = _spec(mp=2)
+    with spec2.mesh:
+        @jax.jit
+        def f(x):
+            return pmesh.activation_constraint(x, None, "model") * 2
+        y = f(jnp.ones((4, 8)))
+    np.testing.assert_allclose(np.asarray(y), 2.0)
+
+
 def test_shard_stacked_batch_layout():
     """Step-stacked trees shard the BATCH axis (1), replicate the step
     axis (0) — the layout the scan-dispatch train loops consume."""

@@ -56,3 +56,34 @@ def test_ring_causal_matches_dense(rng):
     got = ring_attention(q, k, v, spec.mesh, axis_name="data", causal=True)
     want = attention_reference(q, k, v, causal=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_vivit_sequence_parallel_matches_local():
+    """A MODEL forward (not a bare op) exercises the ring: ViViT with
+    ``sequence_parallel=True`` on a model=8 mesh must reproduce the local
+    flash-attention logits at a sentence-scale sequence (16 frames × 16
+    patch tokens = 256 tokens sharded over 8 devices)."""
+    import jax.numpy as jnp
+
+    from lipreading_video_generation_tpu.core.config import ViViTConfig
+    from lipreading_video_generation_tpu.models.vivit import ViViT
+
+    base = ViViTConfig(num_classes=8, hidden_size=64, num_layers=2, num_heads=4,
+                       mlp_dim=128, num_frames=16, dtype="float32")
+    seq_par = __import__("dataclasses").replace(base, sequence_parallel=True)
+    rng = np.random.default_rng(0)
+    clips = jnp.asarray(rng.standard_normal(
+        (2, base.num_frames, base.image_size, base.image_size, 1)).astype(np.float32))
+
+    params = ViViT(base).init(jax.random.key(0), clips)["params"]
+    want = ViViT(base).apply({"params": params}, clips)
+
+    spec = pmesh.build_mesh(MeshConfig(data_parallel=1, model_parallel=8))
+    with spec.mesh:
+        got = ViViT(seq_par).apply({"params": params}, clips)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+    # off-mesh, the sequence_parallel config falls back to the local path
+    got_off = ViViT(seq_par).apply({"params": params}, clips)
+    np.testing.assert_allclose(np.asarray(got_off), np.asarray(want), rtol=1e-6, atol=1e-6)
