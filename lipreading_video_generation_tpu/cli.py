@@ -100,6 +100,22 @@ def main(argv: List[str] | None = None) -> int:
     p.add_argument("--synthetic", action="store_true",
                    help="train on synthetic word clips (no dataset needed)")
 
+    p = _base_parser(sub, "train-feature-transformer",
+                     "DenseNet frame features → small transformer classifier "
+                     "(the reference's Keras path: feature_extraction.py + "
+                     "keras_vivit_model.py)")
+    p.add_argument("--data-root", default=None,
+                   help="LRS2-style tree; omit (or --synthetic) for synthetic word clips")
+    p.add_argument("--max-clips", type=int, default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--densenet-checkpoint", default=None,
+                   help="ported torchvision densenet121 (port-densenet --out); "
+                        "without it the frame embedder is random-init")
+    p.add_argument("--s3fd-checkpoint", default=None,
+                   help="ported s3fd.pth params for the ROI face detector")
+    p.add_argument("--landmark-checkpoint", default=None,
+                   help="trained lip-landmark params (train-landmark --out)")
+
     p = _base_parser(sub, "pack-gan-records",
                      "pre-sample GAN training windows into fixed-shape records "
                      "for the native prefetch loader")
@@ -140,6 +156,15 @@ def main(argv: List[str] | None = None) -> int:
     p = _base_parser(sub, "train-syncnet", "pretrain the SyncNet expert")
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--objective", choices=("infonce", "bce"), default="infonce",
+                   help="infonce (default; in-batch contrastive, converges "
+                        "fast) or bce (the reference's raw-cosine BCE with "
+                        "within-clip shifted negatives)")
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--eval-auc-every", type=int, default=0,
+                   help="report aligned-vs-shifted discrimination AUC on "
+                        "held-out clips every N steps (synthetic runs hold "
+                        "out 2 clips automatically)")
     p.add_argument("--out", default=None,
                    help="save trained expert params here (the in-framework "
                         "lipsync_expert.pth: feed to train-gan/eval-gan "
@@ -289,6 +314,54 @@ def main(argv: List[str] | None = None) -> int:
         print(f"best: {best}")
         return 0
 
+    if args.cmd == "train-feature-transformer":
+        from .core.config import replace as cfg_replace
+        from .core.metrics import ConsoleWriter, Metrics
+        from .data.datasets import WordClipSampler, synthetic_word_clips
+        from .models.ports import densenet_variables_or_init
+        from .pipelines import feature_extraction
+
+        ft = cfg.feature_transformer
+        if args.synthetic or not args.data_root:
+            clips, labels = synthetic_word_clips(
+                n=args.max_clips or 256, t=ft.max_seq_length,
+                num_classes=ft.num_classes)
+            labels = np.asarray(labels, np.int32)
+        else:
+            from .data.manifest import build_manifest
+            from .models.ports import s3fd_params_or_init
+            from .pipelines.lipreading_e2e import build_word_clip_dataset
+
+            records, _ = build_manifest(args.data_root, require_transcript=True)
+            landmark_params = None
+            if args.landmark_checkpoint:
+                from .pipelines.train_landmark import load_params
+
+                landmark_params = load_params(args.landmark_checkpoint)
+            ds = build_word_clip_dataset(
+                cfg, records,
+                s3fd_params=s3fd_params_or_init(args.s3fd_checkpoint, cfg.seed),
+                max_clips=args.max_clips, landmark_params=landmark_params,
+            )
+            if not ds.clips:
+                parser.error(f"no word clips extracted from {args.data_root!r}")
+            clips, labels = ds.clips, ds.labels
+            ft = cfg_replace(ft, num_classes=max(2, len(ds.vocab)))
+        fixer = WordClipSampler(clips, labels, ft.max_seq_length)
+        stacked = np.stack([fixer._fix(c) for c in clips])   # (N, T, H, W, 1)
+        variables = densenet_variables_or_init(args.densenet_checkpoint, cfg.seed)
+        feats = feature_extraction.embed_frames(
+            variables, stacked,
+            batch_frames=min(512, len(stacked) * stacked.shape[1]))
+        n_train = len(clips) - max(1, int(ft.val_split * len(clips)))
+        state, val = feature_extraction.train(
+            ft, feats, labels, seed=cfg.seed,
+            batch_size=min(64, max(1, n_train)),
+            metrics_writer=Metrics(ConsoleWriter(every=10)),
+        )
+        print(f"val accuracy={val['accuracy']:.4f} loss={val['loss']:.4f}")
+        return 0
+
     if args.cmd in ("train-gan", "train-syncnet", "train-lip-expert",
                     "pack-gan-records", "eval-gan"):
         from .core.metrics import ConsoleWriter, Metrics
@@ -296,9 +369,21 @@ def main(argv: List[str] | None = None) -> int:
 
         want_text = args.cmd == "train-lip-expert" or cfg.gan.lip_weight > 0
         sampler = None
+        held_out_clips = None
         if getattr(args, "records_root", None) is None:
             if args.synthetic or not getattr(args, "preprocessed_root", None):
-                clips = synthetic_gan_clips(n_clips=8, frames=30, with_text=want_text)
+                if args.cmd == "train-syncnet":
+                    # audio-visually CORRELATED clips — a sync expert trained
+                    # on uncorrelated noise has nothing to learn; hold out 2
+                    # clips for the discrimination AUC report
+                    from .data.datasets import synthetic_av_clips
+
+                    clips = synthetic_av_clips(n_clips=8, frames=50,
+                                               with_text=want_text)
+                    clips, held_out_clips = clips[:-2], clips[-2:]
+                else:
+                    clips = synthetic_gan_clips(n_clips=8, frames=30,
+                                                with_text=want_text)
             else:
                 import os
 
@@ -415,22 +500,32 @@ def main(argv: List[str] | None = None) -> int:
                 steps_per_dispatch=args.steps_per_dispatch,
             )
         else:
-            import jax
-            import jax.numpy as jnp
-
             from .pipelines import train_syncnet
 
-            state = train_syncnet.create_state(cfg.gan, jax.random.key(cfg.seed))
-            for step in range(args.steps):
-                batch = {k: jnp.asarray(v) for k, v in sampler.sample_batch(
-                    cfg.gan.batch_size).items()}
-                state, m = train_syncnet.train_step(state, batch, jax.random.key(cfg.seed),
-                                                    cfg.gan)
-                writer.write(step, m)
+            state = train_syncnet.train(
+                cfg.gan,
+                lambda: sampler.sample_batch(cfg.gan.batch_size),
+                num_steps=args.steps,
+                seed=cfg.seed,
+                lr=args.lr,
+                objective=args.objective,
+                metrics_writer=writer,
+                eval_clips=held_out_clips,
+                eval_every=args.eval_auc_every,
+            )
+            if held_out_clips is not None:
+                from .pipelines.expert_proof import alignment_scores, auc
+
+                pos, neg = alignment_scores(
+                    state.params, cfg.gan, held_out_clips, seed=cfg.seed)
+                print(f"held-out discrimination AUC={auc(pos, neg):.3f} "
+                      f"(aligned vs ±6-frame shifted mels)")
             if args.out:
+                import jax
+
                 from .core.checkpoint import save_once
 
-                save_once(args.out, {"syncnet": state.params})
+                save_once(args.out, {"syncnet": jax.device_get(state.params)})
                 print(f"saved sync expert → {args.out}")
         return 0
 

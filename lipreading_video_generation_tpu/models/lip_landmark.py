@@ -141,6 +141,10 @@ def synthetic_face_batch(
     mh = jax.random.uniform(keys[3], (n,), minval=0.03, maxval=0.09)  # half-height
     skin = jax.random.uniform(keys[4], (n,), minval=0.55, maxval=0.85)
     noise = 0.03 * jax.random.normal(keys[5], (n, size, size))
+    return _render_faces(cx, cy, mw, mh, skin, noise, size)
+
+
+def _render_faces(cx, cy, mw, mh, skin, noise, size: int):
 
     yy, xx = jnp.meshgrid(
         (jnp.arange(size) + 0.5) / size, (jnp.arange(size) + 0.5) / size, indexing="ij"
@@ -167,3 +171,111 @@ def synthetic_face_batch(
         axis=1,
     )
     return imgs, pts
+
+
+def shifted_face_batch(
+    key: jax.Array, n: int, size: int = CROP_SIZE
+) -> Tuple[jax.Array, jax.Array]:
+    """Held-out *distribution-shifted* faces for de-circularized evaluation.
+
+    ``synthetic_face_batch`` is both the train and (previously) the eval
+    distribution — a circular test. This renderer deliberately breaks every
+    train-time regularity while keeping the oracle physical (the 4 lip
+    points move with the face, exactly like MediaPipe's [57, 287, 164, 18]
+    track a rotated head):
+
+    - mouth geometry OUTSIDE the train ranges (wider/thinner, nearer edges)
+    - teeth: a bright band inside the mouth (breaks "darkest blob" cues)
+    - head tilt: whole-image rotation ±15° (points rotated with it)
+    - illumination: linear brightness ramp across a random direction
+    - optics: Gaussian blur σ ∈ [0, 1.5] and 2× the sensor noise
+    - occlusion: a dark bar over a random image row band
+
+    None of these transforms is used in training (train-time augmentation
+    is photometric-only, pipelines/train_landmark.py), so IoU here measures
+    genuine generalization, not renderer memorization.
+    """
+    keys = jax.random.split(key, 13)
+    # geometry sampled AROUND the train ranges (train: cx .35-.65, cy .55-.8,
+    # mw .08-.2, mh .03-.09)
+    cx = jax.random.uniform(keys[0], (n,), minval=0.3, maxval=0.7)
+    cy = jax.random.uniform(keys[1], (n,), minval=0.5, maxval=0.85)
+    mw = jax.random.uniform(keys[2], (n,), minval=0.06, maxval=0.24)
+    mh = jax.random.uniform(keys[3], (n,), minval=0.02, maxval=0.11)
+    skin = jax.random.uniform(keys[4], (n,), minval=0.45, maxval=0.9)
+    noise = 0.06 * jax.random.normal(keys[5], (n, size, size))
+    imgs, pts = _render_faces(cx, cy, mw, mh, skin, noise, size)
+
+    # teeth: bright band across the middle of the mouth opening
+    yy, xx = jnp.meshgrid(
+        (jnp.arange(size) + 0.5) / size, (jnp.arange(size) + 0.5) / size, indexing="ij"
+    )
+    show_teeth = jax.random.uniform(keys[6], (n,)) > 0.4
+
+    def add_teeth(img, cx_i, cy_i, mw_i, mh_i, on):
+        teeth = (((xx - cx_i) / (mw_i * 0.8)) ** 2 <= 1.0) & (
+            jnp.abs(yy - cy_i) <= mh_i * 0.35)
+        return jnp.where(teeth & on, 0.85, img[..., 0])[..., None]
+
+    imgs = jax.vmap(add_teeth)(imgs, cx, cy, mw, mh, show_teeth)
+
+    # illumination ramp along a random direction, 0.7..1.3
+    phi = jax.random.uniform(keys[7], (n,), minval=0.0, maxval=2 * jnp.pi)
+
+    def ramp(img, phi_i):
+        proj = (xx - 0.5) * jnp.cos(phi_i) + (yy - 0.5) * jnp.sin(phi_i)
+        return img * (1.0 + 0.6 * proj)[..., None]
+
+    imgs = jax.vmap(ramp)(imgs, phi)
+
+    # occlusion bar: a dark horizontal band of height ~8% at a random row
+    occ_y = jax.random.uniform(keys[8], (n,), minval=0.05, maxval=0.95)
+    occ_on = jax.random.uniform(keys[9], (n,)) > 0.5
+
+    def occlude(img, y0, on):
+        bar = jnp.abs(yy - y0) <= 0.04
+        return jnp.where(bar & on, 0.05, img[..., 0])[..., None]
+
+    imgs = jax.vmap(occlude)(imgs, occ_y, occ_on)
+
+    # head tilt: rotate image (inverse-mapped bilinear resample) and points
+    theta = jax.random.uniform(keys[10], (n,), minval=-0.26, maxval=0.26)  # ±15°
+    grid_y, grid_x = jnp.meshgrid(
+        jnp.arange(size, dtype=jnp.float32), jnp.arange(size, dtype=jnp.float32),
+        indexing="ij",
+    )
+    c = (size - 1) / 2.0
+
+    def rotate_img(img, th):
+        # sample source coords = R(-th) applied to destination coords
+        cos, sin = jnp.cos(th), jnp.sin(th)
+        sx = cos * (grid_x - c) + sin * (grid_y - c) + c
+        sy = -sin * (grid_x - c) + cos * (grid_y - c) + c
+        return jax.scipy.ndimage.map_coordinates(
+            img[..., 0], [sy, sx], order=1, mode="nearest")[..., None]
+
+    def rotate_pts(p, th):
+        cos, sin = jnp.cos(th), jnp.sin(th)
+        rel = p - 0.5
+        return jnp.stack(
+            [0.5 + cos * rel[:, 0] - sin * rel[:, 1],
+             0.5 + sin * rel[:, 0] + cos * rel[:, 1]], axis=-1)
+
+    imgs = jax.vmap(rotate_img)(imgs, theta)
+    pts = jax.vmap(rotate_pts)(pts, theta)
+
+    # Gaussian blur σ ∈ [0, 1.5] via a 7×7 kernel (outer product of taps)
+    sigma = jax.random.uniform(keys[11], (n,), minval=1e-3, maxval=1.5)
+    taps = jnp.arange(-3.0, 4.0)
+
+    def blur(img, s):
+        w = jnp.exp(-(taps**2) / (2.0 * s**2))
+        w = w / w.sum()
+        k = (w[:, None] * w[None, :])[:, :, None, None]      # (7, 7, 1, 1)
+        out = jax.lax.conv_general_dilated(
+            img[None], k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out[0]
+
+    imgs = jax.vmap(blur)(imgs, sigma)
+    return jnp.clip(imgs, 0.0, 1.0), jnp.clip(pts, 0.0, 1.0)

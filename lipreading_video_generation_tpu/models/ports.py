@@ -131,6 +131,31 @@ def load_densenet_variables(checkpoint_path: str) -> Dict[str, Any]:
     return {"params": restored["params"], "batch_stats": restored["batch_stats"]}
 
 
+def densenet_variables_or_init(checkpoint_path: Optional[str], seed: int = 0
+                               ) -> Dict[str, Any]:
+    """Ported imagenet weights when a checkpoint is given (port-densenet
+    --out), seeded random init otherwise — random features are still a fixed
+    projection the downstream transformer can learn against, but warn since
+    the reference always uses imagenet features
+    (lipreading/feature_extraction.py:23-28)."""
+    if checkpoint_path:
+        return load_densenet_variables(checkpoint_path)
+    import sys
+
+    from .densenet import DenseNet121
+
+    print(
+        "warning: no --densenet-checkpoint — frame embedder is RANDOM-INIT "
+        "(run port-densenet on torchvision densenet121 weights for "
+        "imagenet-quality features)",
+        file=sys.stderr,
+    )
+    variables = DenseNet121().init(
+        jax.random.key(seed), np.zeros((1, 32, 32, 3), np.float32)
+    )
+    return {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+
+
 # --------------------------------------------------------------------------
 # shared validation
 # --------------------------------------------------------------------------

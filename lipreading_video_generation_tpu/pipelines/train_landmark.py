@@ -59,6 +59,22 @@ def train_step(
     )
 
 
+@jax.jit
+def photometric_augment(key: jax.Array, images: jax.Array) -> jax.Array:
+    """Per-sample brightness/contrast jitter + extra sensor noise.
+
+    Deliberately photometric-ONLY: the distribution-shift evaluation
+    (models/lip_landmark.shifted_face_batch) holds out its geometric and
+    optical transforms (rotation/blur/occlusion/teeth), so passing it means
+    generalization, not augmentation overlap."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    n = images.shape[0]
+    gain = jax.random.uniform(k1, (n, 1, 1, 1), minval=0.7, maxval=1.3)
+    bias = jax.random.uniform(k2, (n, 1, 1, 1), minval=-0.1, maxval=0.1)
+    noise = 0.03 * jax.random.normal(k3, images.shape)
+    return jnp.clip(images * gain + bias + noise, 0.0, 1.0)
+
+
 def train(
     num_steps: int = 400,
     batch_size: int = 64,
@@ -66,6 +82,7 @@ def train(
     lr: float = 3e-4,
     checkpoint_dir: Optional[str] = None,
     log_every: int = 100,
+    augment: bool = True,
 ) -> LandmarkTrainState:
     """Train on synthetic faces; optionally save the final params with Orbax."""
     key = jax.random.PRNGKey(seed)
@@ -74,6 +91,8 @@ def train(
         imgs, pts = lip_landmark.synthetic_face_batch(
             jax.random.fold_in(key, 1000 + step), batch_size
         )
+        if augment:
+            imgs = photometric_augment(jax.random.fold_in(key, 5000 + step), imgs)
         state, metrics = train_step(state, imgs, pts)
         if log_every and (step + 1) % log_every == 0:
             print(f"landmark step {step + 1}: loss {float(metrics['loss']):.4f}")

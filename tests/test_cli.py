@@ -20,6 +20,24 @@ def test_train_vivit_synthetic(capsys):
 
 
 @pytest.mark.slow
+def test_train_feature_transformer_synthetic(capsys):
+    """The Keras-path product surface (keras_vivit_model.py:87-125):
+    DenseNet frame features → FeatureTransformer train → val accuracy.
+    Synthetic word clips are brightness-separable, so even random-init
+    DenseNet features must train to above-chance accuracy."""
+    rc = cli.main([
+        "train-feature-transformer", "--synthetic", "--max-clips", "64",
+        "--set", "feature_transformer.num_classes=4",
+        "--set", "feature_transformer.num_epochs=8",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    line = [ln for ln in out.splitlines() if ln.startswith("val accuracy=")][-1]
+    acc = float(line.split("val accuracy=")[1].split()[0])
+    assert acc > 0.3  # 4 classes, chance = 0.25
+
+
+@pytest.mark.slow
 def test_train_diffusion_synthetic(capsys):
     rc = cli.main([
         "train-diffusion", "--steps", "2", "--synthetic",

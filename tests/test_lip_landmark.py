@@ -115,3 +115,31 @@ def test_train_landmark_checkpoint_roundtrip(tmp_path):
         np.asarray(jax.tree_util.tree_leaves(params)[0]),
         np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
     )
+
+
+@pytest.mark.slow
+def test_landmark_generalizes_to_shifted_distribution():
+    """De-circularized evaluation (round-3): train on the standard renderer
+    with photometric-only augmentation, evaluate on shifted_face_batch's
+    held-out transforms (rotation/blur/occlusion/teeth/illumination/
+    out-of-range mouth geometry). The regressor must still beat the
+    geometric face-box fraction there. Measured on this renderer pair:
+    standard IoU ~0.93 vs geometric ~0.43; shifted IoU ~0.54 vs ~0.39
+    (degradation ~0.39, reported in STATUS.md)."""
+    state = tl.train(num_steps=400, batch_size=64, log_every=0, augment=True)
+
+    def eval_iou(batch_fn, n=64, size=128):
+        imgs, pts = batch_fn(jax.random.PRNGKey(7), n, size=size)
+        frames = jnp.repeat(
+            jnp.clip(jnp.round(imgs * 255), 0, 255).astype(jnp.uint8), 3, axis=-1)
+        face = jnp.tile(jnp.array([0.0, float(size), 0.0, float(size)]), (n, 1))
+        oracle = _oracle_boxes(pts, size)
+        pred = ll.predict_mouth_boxes(state.params, frames, face)
+        geo = jax.vmap(lambda b: mouth_box_from_face(b, 48))(face)
+        return _mean_iou(pred, oracle), _mean_iou(geo, oracle)
+
+    std_pred, std_geo = eval_iou(ll.synthetic_face_batch)
+    sh_pred, sh_geo = eval_iou(ll.shifted_face_batch)
+    assert std_pred > std_geo and std_pred > 0.85, (std_pred, std_geo)
+    assert sh_pred > sh_geo, (sh_pred, sh_geo)
+    assert sh_pred > 0.45, sh_pred
