@@ -47,6 +47,28 @@ def local_batch_slice(global_batch: int) -> Tuple[int, int]:
     return jax.process_index() * per, per
 
 
+def global_batch_from_local(spec, batch, global_batch: int):
+    """Assemble each host's LOCAL batch slice (produced per
+    ``local_batch_slice``) into global batch-sharded arrays on ``spec``'s
+    mesh — the multi-host analog of ``parallel.mesh.shard_batch`` (which
+    expects the full batch on every host). Accepts a pytree of host arrays
+    whose leading dim is this host's slice size.
+
+    Exercised end-to-end by scripts/multihost_smoke.py (2 CPU processes).
+    """
+    from ..parallel.mesh import batch_sharding
+
+    import numpy as np
+
+    def _make(x):
+        x = np.asarray(x)
+        shape = (global_batch,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(
+            batch_sharding(spec, x.ndim), x, shape)
+
+    return jax.tree_util.tree_map(_make, batch)
+
+
 def is_primary() -> bool:
     """True on the checkpoint/metrics-writing host."""
     return jax.process_index() == 0
