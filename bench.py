@@ -82,10 +82,11 @@ def main() -> None:
     _ = int(repeated(frames))
 
     # FLOP accounting for MFU (XLA cost model over the compiled program)
-    from lipreading_video_generation_tpu.utils.flops import compiled_flops, mfu_report
+    from lipreading_video_generation_tpu.utils.flops import flops_detail, mfu_report
 
-    total_flops = compiled_flops(repeated, frames)
-    flops_per_pass = total_flops / K if total_flops else None
+    total_flops = flops_detail(repeated, frames)
+    flops_per_pass = (
+        {k: v / K for k, v in total_flops.items()} if total_flops else None)
 
     # fetch round-trip on an already-computed tiny buffer
     tiny = jnp.zeros((8,)) + 1.0

@@ -179,6 +179,9 @@ def _flash_forward(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
+        # logical dims encoded for utils/flops.py's jaxpr-walk FLOP counter
+        # (the operand avals only show the padded shapes)
+        name=f"flash_fwd_sq{s_q}_sk{s_k}_d{d}",
     )(qp, kp, vp)
     return out.reshape(b, h, sq_pad, d_pad)[:, :, :s_q, :d], lse.reshape(b, h, sq_pad)
 
@@ -355,6 +358,7 @@ def _flash_backward_pallas(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
+        name=f"flash_dkv_sq{s_q}_sk{s_k}_d{d}",
     )(qp, kp, vp, dop, lsep, delta)
 
     q_spec2 = pl.BlockSpec((1, block_q, d_pad), lambda bh, qi, ki: (bh, qi, 0))
@@ -371,6 +375,7 @@ def _flash_backward_pallas(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
+        name=f"flash_dq_sq{s_q}_sk{s_k}_d{d}",
     )(qp, kp, vp, dop, lsep, delta)
 
     dq = dq.reshape(b, h, sq_pad, d_pad)[:, :, :s_q, :d]

@@ -29,7 +29,7 @@ def main():
 
     summary = {}
     summary["pipeline"] = run([sys.executable, "bench.py"])
-    summary["vivit_train"] = run([sys.executable, "scripts/bench_vivit_train.py", "--steps", "5"])
+    summary["vivit_train"] = run([sys.executable, "scripts/bench_vivit_train.py", "--steps", "24"])
     summary["gan_train"] = run([sys.executable, "scripts/bench_gan.py", "--steps", "5"])
     if not args.skip_diffusion:
         summary["diffusion_sampling"] = run([sys.executable, "scripts/bench_diffusion.py"])

@@ -56,16 +56,17 @@ def main():
     _ = np.asarray(x0)
     total = time.perf_counter() - t0
 
-    from lipreading_video_generation_tpu.utils.flops import compiled_flops, mfu_report
+    from lipreading_video_generation_tpu.utils.flops import flops_detail, mfu_report
 
     # per-denoise-step FLOPs from the compiled 50-step scan segment
     seg = min(50, cfg.num_timesteps)
     cond_map = sample_diffusion.encode_condition(state, cond, audio, cfg)
     xt = jnp.zeros((args.batch, cfg.im_size, cfg.im_size, cfg.im_channels))
-    seg_flops = compiled_flops(
+    seg_flops = flops_detail(
         sample_diffusion._scan_segment, state, xt, cond_map,
         jnp.arange(seg - 1, -1, -1), key, cfg)
-    step_flops = seg_flops / seg if seg_flops else None
+    step_flops = (
+        {k: v / seg for k, v in seg_flops.items()} if seg_flops else None)
 
     steps_per_sec = cfg.num_timesteps / total
     print(json.dumps({

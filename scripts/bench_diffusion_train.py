@@ -70,9 +70,9 @@ def main():
     _ = float(metrics["loss"])   # chain-terminating host fetch
     dt = (time.perf_counter() - t0) / args.steps
 
-    from lipreading_video_generation_tpu.utils.flops import compiled_flops, mfu_report
+    from lipreading_video_generation_tpu.utils.flops import flops_detail, mfu_report
 
-    step_flops = compiled_flops(train_diffusion.train_step, state, batch, key, cfg)
+    step_flops = flops_detail(train_diffusion.train_step, state, batch, key, cfg)
 
     print(json.dumps({
         "metric": "diffusion_train_steps_per_sec",

@@ -49,9 +49,9 @@ def main():
     _ = float(metrics["loss/g_total"])  # chained through state
     total = time.perf_counter() - t0
 
-    from lipreading_video_generation_tpu.utils.flops import compiled_flops, mfu_report
+    from lipreading_video_generation_tpu.utils.flops import flops_detail, mfu_report
 
-    step_flops = compiled_flops(train_gan.gan_train_step, state, batch, key, cfg)
+    step_flops = flops_detail(train_gan.gan_train_step, state, batch, key, cfg)
 
     sps = args.steps / total
     print(json.dumps({

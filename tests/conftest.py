@@ -27,12 +27,72 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: XLA-CPU compiles of the bigger models take
 # minutes on this box; cache them across test runs.
-# NOTE: a pytest run killed mid-cache-write (timeout/SIGKILL) can leave a
-# truncated entry whose deserialization SEGFAULTS a later run inside
-# jax compilation_cache.get_executable_and_time — if the suite segfaults
-# there, `rm -rf .jax_cache` and rerun.
-_CACHE_DIR = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
+#
+# Self-healing against kill-during-write corruption: a pytest run killed
+# mid-cache-write (timeout/SIGKILL) can leave a truncated entry whose
+# deserialization SEGFAULTS a later run inside
+# jax compilation_cache.get_executable_and_time. Each session drops a
+# per-PID marker in the cache dir; on startup, a marker whose process is
+# dead means that session was killed, so every cache entry written since
+# that marker's creation (the only files that can be truncated) is deleted
+# before JAX reads anything.
+_CACHE_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache"))
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def _heal_cache_dir(cache_dir: str = _CACHE_DIR) -> None:
+    import glob
+
+    for marker in glob.glob(os.path.join(cache_dir, ".session_running.*")):
+        try:
+            pid = int(marker.rsplit(".", 1)[1])
+        except ValueError:
+            continue
+        if _pid_alive(pid):
+            continue  # a concurrent live session — leave its writes alone
+        try:
+            born = os.path.getmtime(marker)
+        except OSError:
+            continue
+        for root, _, files in os.walk(cache_dir):
+            for f in files:
+                p = os.path.join(root, f)
+                try:
+                    if not f.startswith(".session_running") and \
+                            os.path.getmtime(p) >= born - 1.0:
+                        os.remove(p)
+                except OSError:
+                    pass
+        try:
+            os.remove(marker)
+        except OSError:
+            pass
+
+
+os.makedirs(_CACHE_DIR, exist_ok=True)
+_heal_cache_dir()
+_MARKER = os.path.join(_CACHE_DIR, f".session_running.{os.getpid()}")
+open(_MARKER, "w").close()
+
+
+def pytest_sessionfinish(session, exitstatus):
+    try:
+        os.remove(_MARKER)
+    except OSError:
+        pass
+
+
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

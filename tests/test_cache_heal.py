@@ -1,0 +1,62 @@
+"""Self-healing of the persistent XLA compile cache (conftest.py).
+
+A pytest session killed mid-cache-write (timeout/SIGKILL) can leave a
+truncated cache entry that SEGFAULTS later runs during deserialization.
+conftest drops a per-PID session marker and, on startup, deletes every
+cache entry written during a session whose process is dead — the only
+files that can be truncated.
+"""
+import os
+import time
+
+import conftest
+
+
+def _touch(path, mtime=None):
+    open(path, "w").close()
+    if mtime is not None:
+        os.utime(path, (mtime, mtime))
+
+
+def test_dead_session_recent_entries_removed(tmp_path):
+    cache = str(tmp_path)
+    now = time.time()
+    # entries written long before the dead session survive
+    _touch(os.path.join(cache, "old_entry"), mtime=now - 3600)
+    # a marker from a PID that cannot be alive (pid_max is < 2**22 + 1)
+    marker = os.path.join(cache, ".session_running.4194305")
+    _touch(marker, mtime=now - 60)
+    # entries written during (or after) the dead session are suspect
+    _touch(os.path.join(cache, "suspect_entry"), mtime=now - 30)
+
+    conftest._heal_cache_dir(cache)
+
+    assert os.path.exists(os.path.join(cache, "old_entry"))
+    assert not os.path.exists(os.path.join(cache, "suspect_entry"))
+    assert not os.path.exists(marker)
+
+
+def test_live_session_untouched(tmp_path):
+    cache = str(tmp_path)
+    now = time.time()
+    marker = os.path.join(cache, f".session_running.{os.getpid()}")
+    _touch(marker, mtime=now - 60)
+    _touch(os.path.join(cache, "fresh_entry"), mtime=now - 30)
+
+    conftest._heal_cache_dir(cache)
+
+    assert os.path.exists(os.path.join(cache, "fresh_entry"))
+    assert os.path.exists(marker)  # live session's marker stays
+
+
+def test_malformed_marker_ignored(tmp_path):
+    cache = str(tmp_path)
+    _touch(os.path.join(cache, ".session_running.notapid"))
+    _touch(os.path.join(cache, "entry"))
+    conftest._heal_cache_dir(cache)
+    assert os.path.exists(os.path.join(cache, "entry"))
+
+
+def test_own_session_left_marker():
+    """The running session registered its own marker at import."""
+    assert os.path.exists(conftest._MARKER)

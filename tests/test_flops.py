@@ -33,6 +33,68 @@ def test_compiled_flops_counts_conv():
     assert want * 0.8 <= got <= want * 1.3
 
 
+def test_pallas_flash_attention_counted():
+    """The HLO cost model scores pallas_call at 0 FLOPs; the jaxpr walk must
+    supply the attention matmuls — model flops at logical dims, hardware
+    flops at lane-padded dims (d 64 → 128) with bwd recompute."""
+    from lipreading_video_generation_tpu.ops.attention import flash_attention
+
+    b, h, s, d = 2, 4, 256, 64
+
+    @jax.jit
+    def f(q):
+        return jax.grad(lambda x: flash_attention(x, x, x).sum())(q).sum()
+
+    q = jnp.zeros((b, h, s, d))
+    model, hw = F.pallas_flops(f, q)
+    bh = b * h
+    # model: fwd 2 matmuls + bwd 4 matmuls, logical d
+    assert model == pytest.approx(2.0 * 6 * bh * s * s * d)
+    # hw: fwd 2 + dkv 4 + dq 3 matmuls, padded d=128
+    assert hw == pytest.approx(2.0 * 9 * bh * s * s * 128)
+    detail = F.flops_detail(f, q)
+    assert detail["model"] >= model
+    assert detail["hw"] - detail["model"] == pytest.approx(hw - model)
+
+
+def test_pallas_flops_scan_multiplies_by_length():
+    from lipreading_video_generation_tpu.ops.attention import flash_attention
+
+    q = jnp.zeros((1, 1, 256, 64))  # S > 128 so the Pallas path dispatches
+
+    @jax.jit
+    def f(q):
+        def body(c, _):
+            return flash_attention(c, c, c), None
+        out, _ = jax.lax.scan(body, q, None, length=5)
+        return out
+
+    model, hw = F.pallas_flops(f, q)
+    assert model == pytest.approx(5 * 2.0 * 2 * 256 * 256 * 64)
+
+
+def test_scan_body_trip_count_restored():
+    """XLA's cost model scores a scan body once regardless of length;
+    flops_detail must restore the (length−1) missing repetitions (nested
+    scans multiply)."""
+    a = jnp.zeros((256, 256))
+
+    @jax.jit
+    def nested(a):
+        def inner(c, _):
+            return c @ a, None
+
+        def outer(c, _):
+            c2, _ = jax.lax.scan(inner, c, None, length=4)
+            return c2, None
+
+        out, _ = jax.lax.scan(outer, a, None, length=3)
+        return out
+
+    got = F.compiled_flops(nested, a)
+    assert got == pytest.approx(12 * F.matmul_flops(256, 256, 256), rel=0.01)
+
+
 def test_mfu_report_shape(monkeypatch):
     monkeypatch.setenv("LVG_PEAK_TFLOPS", "100")
     r = F.mfu_report(1e12, 0.1)   # 10 TF/s achieved on a 100 TF/s chip
@@ -44,3 +106,11 @@ def test_mfu_report_shape(monkeypatch):
 def test_mfu_report_handles_unknown():
     r = F.mfu_report(None, 0.1)
     assert r == {"model_tflops": None, "achieved_tflops_per_sec": None, "mfu": None}
+
+
+def test_mfu_report_detail_dict_adds_hfu(monkeypatch):
+    monkeypatch.setenv("LVG_PEAK_TFLOPS", "100")
+    r = F.mfu_report({"model": 1e12, "hw": 2e12}, 0.1)
+    assert r["mfu"] == pytest.approx(0.1)
+    assert r["hw_tflops"] == 2.0
+    assert r["hfu"] == pytest.approx(0.2)
