@@ -156,9 +156,13 @@ def main(argv: List[str] | None = None) -> int:
     p = _base_parser(sub, "train-syncnet", "pretrain the SyncNet expert")
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--synthetic", action="store_true")
-    p.add_argument("--objective", choices=("infonce", "bce"), default="infonce",
-                   help="infonce (default; in-batch contrastive, converges "
-                        "fast) or bce (the reference's raw-cosine BCE with "
+    p.add_argument("--objective", choices=("infonce_hard", "infonce", "bce"),
+                   default="infonce_hard",
+                   help="infonce_hard (default; in-batch contrastive with "
+                        "each sample's own temporally-shifted mel as an "
+                        "extra hard negative — best held-out aligned-vs-"
+                        "shifted AUC), infonce (plain in-batch contrastive) "
+                        "or bce (the reference's raw-cosine BCE with "
                         "within-clip shifted negatives)")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--eval-auc-every", type=int, default=0,
@@ -375,12 +379,23 @@ def main(argv: List[str] | None = None) -> int:
                 if args.cmd == "train-syncnet":
                     # audio-visually CORRELATED clips — a sync expert trained
                     # on uncorrelated noise has nothing to learn; hold out 2
-                    # clips for the discrimination AUC report
+                    # clips for the discrimination AUC report. 18 train clips,
+                    # not 6: with few clips the audio tower keys on per-clip
+                    # f0 identity and held-out AUC plateaus ~0.70 (measured;
+                    # see train_syncnet.py docstring).
                     from .data.datasets import synthetic_av_clips
 
-                    clips = synthetic_av_clips(n_clips=8, frames=50,
+                    clips = synthetic_av_clips(n_clips=20, frames=50,
                                                with_text=want_text)
                     clips, held_out_clips = clips[:-2], clips[-2:]
+                elif args.cmd == "train-lip-expert":
+                    # word-coded clips: the mouth's open/close rate encodes
+                    # the transcript, so the char-seq2seq expert has a real
+                    # video→text correspondence to learn (and its
+                    # discrimination is provable — scripts/prove_lip_expert.py)
+                    from .data.datasets import synthetic_word_av_clips
+
+                    clips = synthetic_word_av_clips(n_clips=24, frames=40)
                 else:
                     clips = synthetic_gan_clips(n_clips=8, frames=30,
                                                 with_text=want_text)

@@ -429,57 +429,109 @@ def synthetic_av_clips(
     information.
     """
     rng = np.random.default_rng(seed)
-    spf = int(sr / fps)  # samples per frame
     words = ["hello", "world", "about", "place", "think", "right"]
     out = []
-    yy, xx = np.mgrid[0:img, 0:img].astype(np.float32)
     for i in range(n_clips):
         env = rng.uniform(0.05, 1.0, frames)
         env = np.convolve(env, [0.25, 0.5, 0.25], mode="same")
         env = env / env.max()
-        # waveform: a harmonic stack whose SPECTRAL CENTROID (formant-like
-        # peak) tracks the envelope, plus amplitude modulation. Mouth
-        # aperture ↔ formant frequency is the physically-sensible coupling,
-        # and a spectral-PATTERN cue survives the per-sample normalization
-        # inside the towers (GroupNorm) that an amplitude-only cue does not.
-        t_frame = (np.arange(frames) + 0.5) * spf
-        t_sample = np.arange(frames * spf, dtype=np.float32)
-        env_s = np.interp(t_sample, t_frame, env)
-        f0 = 110.0 + 13.0 * i
-        centroid = 400.0 + 3000.0 * env_s          # per-sample formant target
-        carrier = np.zeros_like(t_sample)
-        for h in range(1, 31):
-            fh = f0 * h
-            if fh > 7000:
-                break
-            weight = np.exp(-((fh - centroid) / 800.0) ** 2)
-            carrier += weight * np.sin(2 * np.pi * fh * t_sample / sr)
-        carrier = carrier / (np.abs(carrier).max() + 1e-6)
-        wav = ((0.3 + 0.6 * env_s) * carrier).astype(np.float32)
-
-        skin = int(rng.integers(150, 200))
-        base = np.full((img, img, 3), int(rng.integers(60, 100)), np.uint8)
-        face = ((xx - img / 2) ** 2 / (img * 0.42) ** 2
-                + (yy - img / 2) ** 2 / (img * 0.48) ** 2) <= 1.0
-        base[face] = (skin, max(0, skin - 30), max(0, skin - 45))
-        for ex in (img * 3 // 8, img * 5 // 8):   # static eyes
-            eye = ((xx - ex) ** 2 + (yy - img * 3 // 8) ** 2) <= (img * 0.04) ** 2
-            base[eye] = 25
-        cy, cx = img * 0.72, img * 0.5
-        mouth_w = img * 0.24
-        f = np.repeat(base[None], frames, axis=0)
-        for t in range(frames):
-            ap = 1.5 + env[t] * img * 0.13     # half-height of the opening
-            mouth = ((xx - cx) ** 2 / mouth_w ** 2
-                     + (yy - cy) ** 2 / ap ** 2) <= 1.0
-            f[t][mouth] = 15
-        # mild sensor noise so the discriminator sees texture
-        f = np.clip(f.astype(np.int16) + rng.integers(-6, 7, f.shape), 0, 255
-                    ).astype(np.uint8)
+        wav = _formant_wave(env, sr=sr, fps=fps, f0=110.0 + 13.0 * i)
+        f = _render_face_clip(env, img, rng)
         text = None
         if with_text:
             text = " ".join(words[int(j)] for j in rng.integers(0, len(words), 3))
         out.append(GanClip(f, wav, text=text))
+    return out
+
+
+def _formant_wave(env: np.ndarray, sr: int = 16000, fps: float = 25.0,
+                  f0: float = 110.0) -> np.ndarray:
+    """Envelope → waveform: a harmonic stack whose SPECTRAL CENTROID
+    (formant-like peak) tracks the per-frame envelope, plus amplitude
+    modulation. Mouth aperture ↔ formant frequency is the physically-
+    sensible coupling, and a spectral-PATTERN cue survives the per-sample
+    normalization inside the towers (GroupNorm) that an amplitude-only cue
+    does not."""
+    frames = len(env)
+    spf = int(sr / fps)
+    t_frame = (np.arange(frames) + 0.5) * spf
+    t_sample = np.arange(frames * spf, dtype=np.float32)
+    env_s = np.interp(t_sample, t_frame, env)
+    centroid = 400.0 + 3000.0 * env_s              # per-sample formant target
+    carrier = np.zeros_like(t_sample)
+    for h in range(1, 31):
+        fh = f0 * h
+        if fh > 7000:
+            break
+        weight = np.exp(-((fh - centroid) / 800.0) ** 2)
+        carrier += weight * np.sin(2 * np.pi * fh * t_sample / sr)
+    carrier = carrier / (np.abs(carrier).max() + 1e-6)
+    return ((0.3 + 0.6 * env_s) * carrier).astype(np.float32)
+
+
+def _render_face_clip(env: np.ndarray, img: int, rng) -> np.ndarray:
+    """Envelope → (frames, img, img, 3) uint8 synthetic face whose mouth
+    ellipse opens ∝ env[t]. Eyes/face are static so ONLY the mouth carries
+    temporal information; mild sensor noise gives the discriminator
+    texture."""
+    frames = len(env)
+    yy, xx = np.mgrid[0:img, 0:img].astype(np.float32)
+    skin = int(rng.integers(150, 200))
+    base = np.full((img, img, 3), int(rng.integers(60, 100)), np.uint8)
+    face = ((xx - img / 2) ** 2 / (img * 0.42) ** 2
+            + (yy - img / 2) ** 2 / (img * 0.48) ** 2) <= 1.0
+    base[face] = (skin, max(0, skin - 30), max(0, skin - 45))
+    for ex in (img * 3 // 8, img * 5 // 8):       # static eyes
+        eye = ((xx - ex) ** 2 + (yy - img * 3 // 8) ** 2) <= (img * 0.04) ** 2
+        base[eye] = 25
+    cy, cx = img * 0.72, img * 0.5
+    mouth_w = img * 0.24
+    f = np.repeat(base[None], frames, axis=0)
+    for t in range(frames):
+        ap = 1.5 + env[t] * img * 0.13            # half-height of the opening
+        mouth = ((xx - cx) ** 2 / mouth_w ** 2
+                 + (yy - cy) ** 2 / ap ** 2) <= 1.0
+        f[t][mouth] = 15
+    return np.clip(f.astype(np.int16) + rng.integers(-6, 7, f.shape), 0, 255
+                   ).astype(np.uint8)
+
+
+#: Words whose index selects the mouth articulation in
+#: synthetic_word_av_clips: word i's aperture oscillates at WORD_RATE_HZ[i]
+#: with peak opening WORD_PEAK[i] — rate (temporal) and peak (spatial)
+#: jointly code the word, like real visemes differ in both dynamics and
+#: mouth shape.
+WORD_CODED_WORDS = ["hello", "world", "about", "place", "think", "right"]
+WORD_RATE_HZ = [0.5, 2.0, 3.5, 5.0, 6.5, 8.0]
+WORD_PEAK = [1.0, 0.52, 0.88, 0.4, 0.76, 0.64]
+
+
+def synthetic_word_av_clips(
+    n_clips: int = 24, frames: int = 40, img: int = 96, seed: int = 0,
+    sr: int = 16000, fps: float = 25.0, n_words: int = 4,
+) -> List[GanClip]:
+    """Single-word clips where the WORD is coded in the mouth articulation:
+    word ``i``'s aperture envelope oscillates at ``WORD_RATE_HZ[i]`` with
+    peak opening ``WORD_PEAK[i]`` (random phase), so any ``syncnet_T``-frame
+    window exposes the word through visible motion rate + opening extent —
+    a learnable video→transcript correspondence for the text-conditioned
+    lipreading expert (the role LRS2 word clips play for the reference's
+    AV-HuBERT criterion, gan-model/dataset_lip_reading.py:161-164). Audio
+    follows the same envelope via the formant synth, so sync training
+    remains valid on these clips too."""
+    if not 1 <= n_words <= len(WORD_CODED_WORDS):
+        raise ValueError(f"n_words must be in [1, {len(WORD_CODED_WORDS)}]")
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n_clips):
+        w = i % n_words       # balanced classes
+        t = np.arange(frames) / fps
+        phase = rng.uniform(0, 2 * np.pi)
+        env = 0.08 + 0.92 * WORD_PEAK[w] * (0.5 + 0.5 * np.sin(
+            2 * np.pi * WORD_RATE_HZ[w] * t + phase))
+        wav = _formant_wave(env, sr=sr, fps=fps, f0=110.0 + 13.0 * (i % 7))
+        f = _render_face_clip(env, img, rng)
+        out.append(GanClip(f, wav, text=WORD_CODED_WORDS[w]))
     return out
 
 

@@ -18,6 +18,8 @@ the expert is a pluggable interface (SURVEY.md §7.7):
 """
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -66,11 +68,16 @@ class ConformerBlock(nn.Module):
 
 
 class ConformerLipEncoder(nn.Module):
-    """(B, T, 88, 88, 1) mouth video → (B, T, embed_dim) features."""
+    """(B, T, 88, 88, 1) mouth video → (B, T, embed_dim) features.
+
+    ``stem_base`` scales the conv-frontend channel plan (base, 2·base,
+    4·base); the default 64 matches AV-HuBERT's ResNet stem scale, smaller
+    values make CPU-tier proof tests tractable."""
 
     embed_dim: int = 768
     num_layers: int = 6
     num_heads: int = 8
+    stem_base: int = 64
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -78,14 +85,14 @@ class ConformerLipEncoder(nn.Module):
         b, t = video.shape[:2]
         x = video.astype(self.dtype)
         # 3-D conv frontend: spatiotemporal stem then spatial reduction
-        x = nn.Conv(64, (5, 7, 7), strides=(1, 2, 2), padding=((2, 2), (3, 3), (3, 3)),
-                    dtype=self.dtype)(x)
+        x = nn.Conv(self.stem_base, (5, 7, 7), strides=(1, 2, 2),
+                    padding=((2, 2), (3, 3), (3, 3)), dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = nn.Conv(128, (1, 3, 3), strides=(1, 2, 2), padding=((0, 0), (1, 1), (1, 1)),
-                    dtype=self.dtype)(x)
+        x = nn.Conv(2 * self.stem_base, (1, 3, 3), strides=(1, 2, 2),
+                    padding=((0, 0), (1, 1), (1, 1)), dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = nn.Conv(256, (1, 3, 3), strides=(1, 2, 2), padding=((0, 0), (1, 1), (1, 1)),
-                    dtype=self.dtype)(x)
+        x = nn.Conv(4 * self.stem_base, (1, 3, 3), strides=(1, 2, 2),
+                    padding=((0, 0), (1, 1), (1, 1)), dtype=self.dtype)(x)
         x = nn.relu(x)
         x = jnp.mean(x, axis=(2, 3))  # (B, T, 256) spatial GAP
         x = nn.Dense(self.embed_dim, dtype=self.dtype)(x)
@@ -193,12 +200,14 @@ class LipExpertSeq2Seq(nn.Module):
     dec_layers: int = 2
     num_heads: int = 4
     max_text_len: int = 48
+    stem_base: int = 64
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.encoder = ConformerLipEncoder(
             embed_dim=self.embed_dim, num_layers=self.enc_layers,
-            num_heads=self.num_heads, dtype=self.dtype, name="encoder",
+            num_heads=self.num_heads, stem_base=self.stem_base,
+            dtype=self.dtype, name="encoder",
         )
         self.tok_embed = nn.Embed(VOCAB_SIZE, self.embed_dim, dtype=self.dtype)
         self.pos_embed = self.param(
@@ -230,15 +239,32 @@ def seq2seq_expert_loss(
     params,
     video_rgb: jax.Array,     # (B, T, H, W, C) uint8-scale
     tokens: jax.Array,        # (B, L) char ids, PAD-padded
+    token_dropout_key: Optional[jax.Array] = None,
+    token_dropout: float = 0.3,
 ) -> jax.Array:
     """Teacher-forced character CE of the (frozen) expert reading the video
     against the transcript — the text-conditioned criterion role of
     train_lipreading.py:130-133. Gradients flow into the video (i.e. the
-    generator), not the expert."""
+    generator), not the expert.
+
+    ``token_dropout_key`` (expert PRETRAINING only — the GAN criterion
+    evaluates deterministically) replaces that fraction of the teacher-
+    forced INPUT chars with PAD. Without it the decoder settles into the
+    unconditional char-LM minimum and never learns to read the video:
+    measured on word-coded synthetic clips, the encoder's features linearly
+    separate the words (0.77 val probe accuracy untrained) yet the
+    fully-teacher-forced seq2seq converges to transcript-independent losses
+    (margin ≈ 0); masking input chars forces the decoder through
+    cross-attention."""
     video = avhubert_video_transform(video_rgb)
     tokens = tokens.astype(jnp.int32)
     bos = jnp.full((tokens.shape[0], 1), BOS_ID, jnp.int32)
     tokens_in = jnp.concatenate([bos, tokens[:, :-1]], axis=1)
+    if token_dropout_key is not None and token_dropout > 0.0:
+        keep = jax.random.bernoulli(
+            token_dropout_key, 1.0 - token_dropout, tokens_in.shape)
+        keep = keep | (tokens_in == BOS_ID)    # never drop BOS
+        tokens_in = jnp.where(keep, tokens_in, PAD_ID)
     logits = model.apply({"params": params}, video, tokens_in)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, tokens[..., None], axis=-1)[..., 0]

@@ -55,7 +55,7 @@ def test_expert_training_learns_text_and_rejects_wrong_text():
     true_tokens = np.stack([le.encode_transcript("hello", 12)] * 2)
     batch = {"window": jnp.asarray(window), "text_tokens": jnp.asarray(true_tokens)}
     for _ in range(40):
-        state, m = train_lip_expert.train_step(state, batch, KEY, max_text_len=12)
+        state, m = train_lip_expert.train_step(state, batch, KEY)
     assert np.isfinite(float(m["loss"]))
     model = train_lip_expert.default_expert(max_text_len=12)
     video = jnp.asarray(window.astype(np.float32))
