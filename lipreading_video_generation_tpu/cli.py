@@ -233,6 +233,13 @@ def main(argv: List[str] | None = None) -> int:
                         "windows); .mp4/.avi --out is written as video")
     p.add_argument("--fps", type=float, default=25.0,
                    help="output fps when no --cond-video supplies one")
+    p.add_argument("--ddim-steps", type=int, default=None,
+                   help="DDIM few-step sampling: number of model forwards "
+                        "over a strided timestep subsequence (e.g. 50 "
+                        "instead of the full num_timesteps DDPM chain)")
+    p.add_argument("--eta", type=float, default=0.0,
+                   help="DDIM stochasticity: 0 deterministic (default), "
+                        "1 DDPM-matched ancestral variance")
     p.add_argument("--out", required=True)
 
     p = _base_parser(sub, "infer-lipsync", "lip-sync a video to an audio track")
@@ -646,6 +653,7 @@ def main(argv: List[str] | None = None) -> int:
             clip = np.asarray(sample_diffusion.sample_video(
                 state, jnp.asarray(cond_np), jnp.asarray(windows_np),
                 jax.random.key(cfg.seed), d,
+                num_inference_steps=args.ddim_steps, eta=args.eta,
             ))
             if args.out.endswith((".mp4", ".avi")):
                 video_io.write_video(args.out, clip, fps=fps)
@@ -671,7 +679,9 @@ def main(argv: List[str] | None = None) -> int:
             rng = np.random.default_rng(cfg.seed)
             cond = jnp.asarray(rng.integers(0, 256, (1, d.im_size, d.im_size, 3), dtype=np.uint8))
             audio = jnp.asarray(rng.standard_normal((1, d.audio_samples)).astype(np.float32))
-        x0, snaps = sample_diffusion.sample(state, cond, audio, jax.random.key(cfg.seed), d)
+        x0, snaps = sample_diffusion.sample(
+            state, cond, audio, jax.random.key(cfg.seed), d,
+            num_inference_steps=args.ddim_steps, eta=args.eta)
         import cv2
 
         img = np.asarray((x0[0] * 255)).astype(np.uint8)

@@ -60,6 +60,44 @@ class _BaseScheduler:
         sa = _bcast(jnp.asarray(self.sqrt_alpha_cum_prod), t, xt.ndim)
         return jnp.clip((xt - so * noise_pred) / sa, -1.0, 1.0)
 
+    def ddim_prev(
+        self,
+        xt: jax.Array,
+        noise_pred: jax.Array,
+        t: jax.Array,
+        t_prev: jax.Array,
+        key: jax.Array,
+        eta: float = 0.0,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """One DDIM update x_t → x_{t_prev} (Song et al. 2021, eq. 12) over
+        an arbitrary timestep subsequence — the few-step sampling mode the
+        reference's 500-sequential-forwards loop (test.py:57-64) lacks.
+
+        Works with every scheduler here because it needs only the ᾱ table.
+        ``t_prev < 0`` means "fully denoised": ᾱ_prev = 1, so the update
+        returns the model's x0 prediction. ``eta`` interpolates
+        deterministic DDIM (0, the default — trajectory is a pure function
+        of the initial noise) to DDPM-matched ancestral variance (1).
+        Returns (x_prev, x0_pred) like ``sample_prev_timestep``."""
+        acp = jnp.asarray(self.alpha_cum_prod)
+        acp_t = _bcast(acp, t, xt.ndim)
+        final = jnp.asarray(t_prev < 0)
+        final = final.reshape(final.shape + (1,) * (xt.ndim - final.ndim))
+        acp_prev = jnp.where(final, 1.0, _bcast(acp, jnp.maximum(t_prev, 0), xt.ndim))
+        # unclamped x0 estimate drives the update (clamped one is returned
+        # for previews, matching pred_x0's convention)
+        sa_t = jnp.sqrt(acp_t)
+        so_t = jnp.sqrt(1.0 - acp_t)
+        x0_est = (xt - so_t * noise_pred) / sa_t
+        sigma = eta * jnp.sqrt(
+            jnp.clip((1.0 - acp_prev) / (1.0 - acp_t), 0.0)
+            * jnp.clip(1.0 - acp_t / acp_prev, 0.0)
+        )
+        dir_xt = jnp.sqrt(jnp.clip(1.0 - acp_prev - sigma**2, 0.0)) * noise_pred
+        z = jax.random.normal(key, xt.shape, dtype=xt.dtype)
+        x_prev = jnp.sqrt(acp_prev) * x0_est + dir_xt + sigma * z
+        return x_prev, jnp.clip(x0_est, -1.0, 1.0)
+
 
 def _compvis_betas(num_timesteps: int, beta_start: float, beta_end: float) -> np.ndarray:
     return np.linspace(beta_start**0.5, beta_end**0.5, num_timesteps, dtype=np.float64) ** 2

@@ -73,6 +73,39 @@ def _scan_segment(
     return jax.lax.scan(step, xt, ts)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "eta", "use_ema"))
+def _scan_segment_ddim(
+    state: DiffusionTrainState,
+    xt: jax.Array,
+    cond_map: jax.Array,
+    ts: jax.Array,          # (seg,) descending subsequence timesteps
+    ts_prev: jax.Array,     # (seg,) each step's target timestep (-1 = x0)
+    key: jax.Array,
+    cfg: DiffusionConfig,
+    eta: float = 0.0,
+    use_ema: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """DDIM segment: like ``_scan_segment`` but each scan step jumps
+    t → t_prev over the strided subsequence (``Scheduler.ddim_prev``),
+    so ``num_inference_steps`` model forwards replace ``num_timesteps``."""
+    scheduler = make_scheduler(cfg.scheduler, cfg.num_timesteps, cfg.beta_start, cfg.beta_end)
+    model = UNetAudio(cfg)
+    params = state.ema_params if use_ema else state.params
+    b = xt.shape[0]
+
+    def step(carry, t_pair):
+        xt = carry
+        t, t_prev = t_pair
+        tb = jnp.full((b,), t, jnp.int32)
+        eps = model.apply({"params": params}, xt, cond_map, tb, method=UNetAudio.denoise)
+        xt_prev, x0 = scheduler.ddim_prev(
+            xt, eps, tb, jnp.full((b,), t_prev, jnp.int32),
+            jax.random.fold_in(key, t), eta=eta)
+        return xt_prev, x0
+
+    return jax.lax.scan(step, xt, (ts, ts_prev))
+
+
 def sample(
     state: DiffusionTrainState,
     cond_frame_uint8: jax.Array,   # (B, h, w, 3) uint8 condition frame
@@ -82,22 +115,41 @@ def sample(
     snapshot_every: int = 50,
     use_ema: bool = False,
     segment_size: int = 50,
+    num_inference_steps: int | None = None,
+    eta: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (x0 (B, H, W, 3) in [0,1], snapshots (S, B, H, W, 3)).
-    ``use_ema`` samples with the EMA shadow params (utils.py:92-102)."""
+    ``use_ema`` samples with the EMA shadow params (utils.py:92-102).
+
+    ``num_inference_steps`` < ``cfg.num_timesteps`` switches to DDIM over a
+    strided timestep subsequence — e.g. 50 model forwards instead of the
+    reference's 500 (test.py:57-64) for near-equal sample quality;
+    ``eta`` = 0 is deterministic DDIM, 1 matches DDPM ancestral variance."""
     cond_map = encode_condition(state, cond_frame_uint8, audio_wave, cfg, use_ema)
     b = cond_frame_uint8.shape[0]
     k0, kloop = jax.random.split(key)
     xt = jax.random.normal(k0, (b, cfg.im_size, cfg.im_size, cfg.im_channels))
 
-    ts_all = np.arange(cfg.num_timesteps - 1, -1, -1)
-    seg = max(1, min(segment_size, cfg.num_timesteps))
+    ddim = (num_inference_steps is not None
+            and num_inference_steps < cfg.num_timesteps)
+    if ddim:
+        stride = cfg.num_timesteps // num_inference_steps
+        ts_all = np.arange(0, cfg.num_timesteps, stride)[::-1]  # descending
+        ts_prev_all = np.concatenate([ts_all[1:], [-1]])
+    else:
+        ts_all = np.arange(cfg.num_timesteps - 1, -1, -1)
+    seg = max(1, min(segment_size, len(ts_all)))
     # full-size segments share one compiled program; a trailing remainder
     # segment (different static length) compiles once more at most.
     snaps = []
     for i in range(0, len(ts_all), seg):
         chunk = jnp.asarray(ts_all[i : i + seg])
-        xt, x0_traj = _scan_segment(state, xt, cond_map, chunk, kloop, cfg, use_ema)
+        if ddim:
+            prev_chunk = jnp.asarray(ts_prev_all[i : i + seg])
+            xt, x0_traj = _scan_segment_ddim(
+                state, xt, cond_map, chunk, prev_chunk, kloop, cfg, eta, use_ema)
+        else:
+            xt, x0_traj = _scan_segment(state, xt, cond_map, chunk, kloop, cfg, use_ema)
         snaps.append(x0_traj[::snapshot_every])
     snapshots = jnp.concatenate(snaps, axis=0) if snaps else jnp.zeros((0,) + xt.shape)
     final = (jnp.clip(xt, -1.0, 1.0) + 1.0) / 2.0
@@ -113,6 +165,8 @@ def sample_video(
     cfg: DiffusionConfig,
     use_ema: bool = False,
     segment_size: int = 50,
+    num_inference_steps: int | None = None,
+    eta: float = 0.0,
 ) -> jax.Array:
     """Generate a T-frame clip: (T, im_size, im_size, 3) uint8.
 
@@ -128,5 +182,6 @@ def sample_video(
         state, cond, audio_windows, key, cfg,
         snapshot_every=cfg.num_timesteps + 1,   # no snapshots needed
         use_ema=use_ema, segment_size=segment_size,
+        num_inference_steps=num_inference_steps, eta=eta,
     )
     return image_ops.denormalize_to_uint8(x0)  # x0 already in [0,1]

@@ -468,6 +468,29 @@ def test_sample_video_batched_trajectory():
     assert np.any(c[0] != c[1]) and np.any(c[1] != c[2])
 
 
+def test_sampler_ddim_few_step():
+    """num_inference_steps < num_timesteps: DDIM path — 5 model forwards
+    instead of 10, segmented (size 3 exercises the remainder segment),
+    output still a valid [0,1] image that differs from the full DDPM chain
+    (different trajectory by construction)."""
+    state = train_diffusion.create_state(TINY_DIFF, KEY)
+    b = _diff_batch()
+    x_ddim, snaps = sample_diffusion.sample(
+        state, b["cond_frame"], b["audio"], KEY, TINY_DIFF,
+        snapshot_every=1, segment_size=3, num_inference_steps=5)
+    assert snaps.shape[0] == 5  # one x0 preview per inference step
+    xn = np.asarray(x_ddim)
+    assert xn.min() >= 0 and xn.max() <= 1 and np.isfinite(xn).all()
+    x_ddpm, _ = sample_diffusion.sample(
+        state, b["cond_frame"], b["audio"], KEY, TINY_DIFF)
+    assert not np.allclose(xn, np.asarray(x_ddpm))
+    # eta=0 determinism end-to-end: repeat is bit-identical
+    x_rep, _ = sample_diffusion.sample(
+        state, b["cond_frame"], b["audio"], KEY, TINY_DIFF,
+        snapshot_every=1, segment_size=3, num_inference_steps=5)
+    np.testing.assert_array_equal(xn, np.asarray(x_rep))
+
+
 def test_gan_scan_matches_stepwise():
     """gan_train_scan is a pure performance transform: the loss trajectory
     over 3 steps must match 3 direct steps (well-conditioned check; exact

@@ -103,3 +103,69 @@ def test_vectorized_timesteps():
     assert out.shape == (4, 2, 2, 1)
     # t=0 row must be exactly the (zero) mean — no noise
     np.testing.assert_allclose(np.asarray(out[0]), 0.0, atol=1e-7)
+
+
+# --- DDIM (ddim_prev: few-step sampling over a strided subsequence) --------
+
+def test_ddim_oracle_recovers_point_mass():
+    """With the exact noise-predictor of a point-mass data distribution
+    (x0* constant), deterministic DDIM lands on x0* from pure noise in a
+    handful of strided steps — the few-step property DDPM's 500-step
+    ancestral chain can't offer."""
+    s = LinearScheduler.create(100, 0.00085, 0.012)
+    x0_star = 0.37
+    xt = jax.random.normal(jax.random.key(3), (2, 4, 4, 1))
+    ts = np.arange(0, 100, 20)[::-1]          # 5 strided steps: 80..0
+    ts_prev = np.concatenate([ts[1:], [-1]])
+    for t, tp in zip(ts, ts_prev):
+        tb = jnp.full((2,), int(t), jnp.int32)
+        sa = np.sqrt(s.alpha_cum_prod[t])
+        so = np.sqrt(1 - s.alpha_cum_prod[t])
+        eps_oracle = (xt - sa * x0_star) / so
+        xt, x0_pred = s.ddim_prev(xt, eps_oracle, tb,
+                                  jnp.full((2,), int(tp), jnp.int32),
+                                  jax.random.key(0), eta=0.0)
+    np.testing.assert_allclose(np.asarray(xt), x0_star, atol=1e-4)
+
+
+def test_ddim_eta1_consecutive_step_matches_ddpm():
+    """eta=1 over consecutive timesteps IS ancestral DDPM (same mean and
+    variance, Song et al. 2021 §4.1) — pinned against
+    sample_prev_timestep with a shared key."""
+    s = LinearScheduler.create(50, 0.001, 0.02)
+    rng = np.random.default_rng(0)
+    xt = jnp.asarray(rng.standard_normal((2, 4, 4, 3)).astype(np.float32))
+    eps = jnp.asarray(rng.standard_normal((2, 4, 4, 3)).astype(np.float32) * 0.1)
+    t = jnp.full((2,), 10, jnp.int32)
+    key = jax.random.key(7)
+    ddpm, _ = s.sample_prev_timestep(xt, eps, t, key)
+    ddim, _ = s.ddim_prev(xt, eps, t, t - 1, key, eta=1.0)
+    np.testing.assert_allclose(np.asarray(ddim), np.asarray(ddpm), rtol=2e-4,
+                               atol=2e-5)
+
+
+def test_ddim_final_step_returns_x0_estimate():
+    """t_prev = -1 means fully denoised: the update returns the model's x0
+    estimate exactly, noise-free even at eta=1."""
+    s = CosineScheduler.create(40)
+    rng = np.random.default_rng(1)
+    xt = jnp.asarray(rng.standard_normal((1, 4, 4, 1)).astype(np.float32))
+    eps = jnp.asarray(rng.standard_normal((1, 4, 4, 1)).astype(np.float32))
+    t = jnp.full((1,), 5, jnp.int32)
+    out, _ = s.ddim_prev(xt, eps, t, jnp.full((1,), -1, jnp.int32),
+                         jax.random.key(0), eta=1.0)
+    sa = np.sqrt(s.alpha_cum_prod[5])
+    so = np.sqrt(1 - s.alpha_cum_prod[5])
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray((xt - so * eps) / sa), rtol=1e-5)
+
+
+def test_ddim_eta0_key_independent():
+    """Deterministic DDIM: the key must not influence the update."""
+    s = LinearSchedulerV2.create(30, 0.0001, 0.01)
+    xt = jnp.ones((1, 2, 2, 1)) * 0.2
+    eps = jnp.ones((1, 2, 2, 1)) * 0.3
+    t = jnp.full((1,), 12, jnp.int32)
+    a, _ = s.ddim_prev(xt, eps, t, t - 4, jax.random.key(0), eta=0.0)
+    b, _ = s.ddim_prev(xt, eps, t, t - 4, jax.random.key(99), eta=0.0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
