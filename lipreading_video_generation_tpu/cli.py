@@ -80,6 +80,20 @@ def main(argv: List[str] | None = None) -> int:
     p.add_argument("--out", required=True, help="Orbax artifact path "
                    "(feed to --densenet-checkpoint flags)")
 
+    p = _base_parser(sub, "port-avhubert",
+                     "port a fairseq AV-HuBERT checkpoint's video encoder "
+                     "(the frozen lipreading expert) to Orbax params")
+    p.add_argument("--pth", required=True,
+                   help="fairseq checkpoint (.pt): pretraining or fine-tuned "
+                        "seq2seq layout")
+    p.add_argument("--out", required=True, help="Orbax artifact path "
+                   "(feed to train-gan --avhubert-checkpoint)")
+    p.add_argument("--num-heads", type=int, default=None,
+                   help="attention heads (not recoverable from tensor "
+                        "shapes; default embed_dim // 64)")
+    p.add_argument("--pos-conv-groups", type=int, default=None,
+                   help="conv positional-embedding groups (default 16)")
+
     p = _base_parser(sub, "preprocess-gan", "videos → face crops + wav (offline)")
     p.add_argument("--data-root", required=True)
     p.add_argument("--out", required=True)
@@ -138,6 +152,11 @@ def main(argv: List[str] | None = None) -> int:
                    help="pretrained frozen lipreading expert (train-lip-expert "
                         "--out) for the --set gan.lip_weight>0 criterion — "
                         "the reference's AV-HuBERT checkpoint role")
+    p.add_argument("--avhubert-checkpoint", default=None,
+                   help="ported AV-HuBERT video encoder (port-avhubert --out) "
+                        "as the frozen lipreading expert (feature-matching "
+                        "criterion); mutually exclusive with "
+                        "--lip-expert-checkpoint")
     p.add_argument("--steps-per-dispatch", type=int, default=8,
                    help="train steps scanned per device program (amortizes "
                         "dispatch overhead; 1 = one dispatch per step)")
@@ -282,6 +301,17 @@ def main(argv: List[str] | None = None) -> int:
 
         port_densenet(args.pth, args.out)
         print(f"ported densenet121 → {args.out}")
+        return 0
+
+    if args.cmd == "port-avhubert":
+        from .models.ports import port_avhubert
+
+        _, pcfg, skipped = port_avhubert(args.pth, args.out,
+                                         num_heads=args.num_heads,
+                                         pos_conv_groups=args.pos_conv_groups)
+        print(f"ported AV-HuBERT video encoder → {args.out} "
+              f"(embed {pcfg['embed_dim']}, {pcfg['num_layers']} layers, "
+              f"{len(skipped)} non-video keys skipped)")
         return 0
 
     if args.cmd == "preprocess-gan":
@@ -501,6 +531,10 @@ def main(argv: List[str] | None = None) -> int:
                 syncnet_params = train_syncnet.load_params(
                     args.syncnet_checkpoint, cfg.gan, jax.random.key(cfg.seed))
             lip_expert_params = None
+            lip_expert_model = None
+            if args.lip_expert_checkpoint and args.avhubert_checkpoint:
+                raise SystemExit("--lip-expert-checkpoint and "
+                                 "--avhubert-checkpoint are mutually exclusive")
             if args.lip_expert_checkpoint:
                 import jax
 
@@ -509,6 +543,11 @@ def main(argv: List[str] | None = None) -> int:
                 lip_expert_params = train_lip_expert.load_params(
                     args.lip_expert_checkpoint, syncnet_T=cfg.gan.syncnet_T,
                     key=jax.random.key(cfg.seed))
+            elif args.avhubert_checkpoint:
+                from .models.ports import load_avhubert_expert
+
+                lip_expert_model, lip_expert_params = load_avhubert_expert(
+                    args.avhubert_checkpoint)
             train_gan.train(
                 cfg.gan,
                 batch_fn,
@@ -519,6 +558,7 @@ def main(argv: List[str] | None = None) -> int:
                 metrics_writer=writer,
                 syncnet_params=syncnet_params,
                 lip_expert_params=lip_expert_params,
+                lip_expert_model=lip_expert_model,
                 steps_per_dispatch=args.steps_per_dispatch,
             )
         else:

@@ -14,4 +14,5 @@ from .schedulers import (  # noqa: F401
 from .s3fd import S3FD, detect_faces  # noqa: F401
 from .face_api import FaceAlignment, LandmarksType  # noqa: F401
 from .densenet import DenseNet121  # noqa: F401
+from .avhubert import AVHubertVideoEncoder, convert_avhubert_state_dict  # noqa: F401
 from .lip_expert import ConformerLipEncoder, avhubert_video_transform  # noqa: F401

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional, Tuple
 
+import os
+
 import jax
 import numpy as np
 
@@ -181,3 +183,102 @@ def _validate_against_init(converted, template) -> None:
             f"port shape mismatch on {bad[:5]} "
             f"(e.g. {bad[0]}: want {tmpl[bad[0]]}, got {conv[bad[0]]})"
         )
+
+
+# --------------------------------------------------------------------------
+# AV-HuBERT video encoder (the frozen lipreading-expert weight port)
+# --------------------------------------------------------------------------
+
+def _load_fairseq_model_state(pth_path: str) -> Dict[str, np.ndarray]:
+    """Read a fairseq-style checkpoint into plain numpy.
+
+    Handles the layouts the reference's surgery touches
+    (gan-model/avhubert_utils.py:39-68, 106-110): the pretraining
+    ``{"model": state_dict, ...}`` wrapper, the fine-tuned seq2seq model
+    whose encoder lives under ``encoder.w2v_model.``, and the
+    ``HubertEncoderWrapper`` ``w2v_model.`` prefix. Non-tensor entries
+    (cfg/task_state) are dropped.
+    """
+    import torch
+
+    try:
+        obj = torch.load(pth_path, map_location="cpu", weights_only=True)
+    except Exception:
+        # fairseq checkpoints pickle omegaconf objects alongside tensors
+        obj = torch.load(pth_path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and isinstance(obj.get("model"), dict):
+        obj = obj["model"]
+    elif isinstance(obj, dict) and isinstance(obj.get("state_dict"), dict):
+        obj = obj["state_dict"]
+    out: Dict[str, np.ndarray] = {}
+    for k, v in obj.items():
+        if not hasattr(v, "detach"):
+            continue
+        changed = True
+        while changed:
+            changed = False
+            for pre in ("module.", "encoder.w2v_model.", "w2v_model."):
+                if k.startswith(pre):
+                    k = k[len(pre):]
+                    changed = True
+        out[k] = v.detach().cpu().numpy()
+    return out
+
+
+def _avhubert_template(cfg: Dict[str, int]):
+    """(model, abstract params tree) without materializing the weights —
+    base AV-HuBERT is ~100M params, so the template is eval_shape-only."""
+    import jax.numpy as jnp
+
+    from .avhubert import AVHubertVideoEncoder
+
+    model = AVHubertVideoEncoder(**cfg)
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.key(0),
+                           jnp.zeros((1, 1, 88, 88, 1), jnp.float32)))
+    return model, shapes["params"]
+
+
+def port_avhubert(pth_path: str, out_path: str,
+                  num_heads: Optional[int] = None,
+                  pos_conv_groups: Optional[int] = None):
+    """AV-HuBERT fairseq checkpoint → Orbax artifact + config sidecar.
+
+    Returns (params, config, skipped_keys). Head count / conv groups are
+    not recoverable from tensor shapes; defaults follow the base config
+    (embed_dim // 64 heads, 16 groups) with CLI overrides for variants.
+    """
+    import json
+
+    from ..core.checkpoint import save_once
+    from .avhubert import convert_avhubert_state_dict
+
+    sd = _load_fairseq_model_state(pth_path)
+    params, cfg, skipped = convert_avhubert_state_dict(sd)
+    if num_heads:
+        cfg["num_heads"] = int(num_heads)
+    if pos_conv_groups:
+        cfg["pos_conv_groups"] = int(pos_conv_groups)
+    _, tmpl = _avhubert_template(cfg)
+    _validate_against_init(params, tmpl)
+    save_once(out_path, {"avhubert": params})
+    with open(os.path.join(os.path.abspath(out_path),
+                           "avhubert.config.json"), "w") as f:
+        json.dump(cfg, f)
+    return params, cfg, skipped
+
+
+def load_avhubert_expert(checkpoint_path: str):
+    """Load a ``port-avhubert --out`` artifact → (model, params) — drops
+    into ``train-gan`` as the frozen feature-matching lipreading expert
+    (the reference's retrieve_avhubert role, train_lipreading.py:345-346)."""
+    import json
+
+    from ..core.checkpoint import load_once
+
+    with open(os.path.join(os.path.abspath(checkpoint_path),
+                           "avhubert.config.json")) as f:
+        cfg = json.load(f)
+    model, tmpl = _avhubert_template(cfg)
+    params = load_once(checkpoint_path, {"avhubert": tmpl})["avhubert"]
+    return model, params

@@ -51,6 +51,10 @@ class GanTrainState:
     lip_expert_params: Any = None  # frozen lipreading expert (--lipreading path)
     gen_tx: optax.GradientTransformation = flax.struct.field(pytree_node=False, default=None)
     disc_tx: optax.GradientTransformation = flax.struct.field(pytree_node=False, default=None)
+    # expert architecture for lip_expert_params — None means the native
+    # default (train_lip_expert.default_expert). A ported AV-HuBERT video
+    # encoder (models/avhubert.py) rides here; static, not a pytree leaf.
+    lip_expert_model: Any = flax.struct.field(pytree_node=False, default=None)
 
 
 def create_state(
@@ -58,6 +62,7 @@ def create_state(
     key: jax.Array,
     syncnet_params=None,
     lip_expert_params=None,
+    lip_expert_model=None,
 ) -> GanTrainState:
     dtype = jnp.dtype(cfg.dtype)
     gen = TalkingFaceGenerator(width=cfg.model_width, dtype=dtype)
@@ -78,12 +83,17 @@ def create_state(
     gen_tx = optax.adam(cfg.learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2)
     disc_tx = optax.adam(cfg.disc_learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2)
     if lip_expert_params is None and cfg.lip_weight > 0:
-        from .train_lip_expert import default_expert
+        if lip_expert_model is not None:      # e.g. ported AV-HuBERT (video-only)
+            lip_expert_params = lip_expert_model.init(
+                jax.random.fold_in(key, 3), jnp.zeros((1, t, 88, 88, 1))
+            )["params"]
+        else:
+            from .train_lip_expert import default_expert
 
-        lip_expert_params = default_expert().init(
-            jax.random.fold_in(key, 3),
-            jnp.zeros((1, t, 88, 88, 1)), jnp.zeros((1, 48), jnp.int32),
-        )["params"]
+            lip_expert_params = default_expert().init(
+                jax.random.fold_in(key, 3),
+                jnp.zeros((1, t, 88, 88, 1)), jnp.zeros((1, 48), jnp.int32),
+            )["params"]
     return GanTrainState(
         step=jnp.zeros((), jnp.int32),
         gen_params=gen_params,
@@ -95,6 +105,7 @@ def create_state(
         lip_expert_params=lip_expert_params,
         gen_tx=gen_tx,
         disc_tx=disc_tx,
+        lip_expert_model=lip_expert_model,
     )
 
 
@@ -186,11 +197,18 @@ def _gan_train_step_impl(
         # transcript (avhubert seq2seq criterion analog); without text it
         # falls back to expert-feature matching vs the ground-truth window.
         if cfg.lip_weight > 0 and state.lip_expert_params is not None:
-            from ..models.lip_expert import avhubert_video_transform, seq2seq_expert_loss
+            from ..models.lip_expert import (
+                LipExpertSeq2Seq,
+                avhubert_video_transform,
+                seq2seq_expert_loss,
+            )
             from .train_lip_expert import default_expert
 
-            expert = default_expert()
-            if "text_tokens" in batch:
+            expert = (state.lip_expert_model
+                      if state.lip_expert_model is not None else default_expert())
+            # a ported AV-HuBERT encoder has no text decoder — it scores by
+            # feature matching even when transcripts are present
+            if "text_tokens" in batch and isinstance(expert, LipExpertSeq2Seq):
                 lip = seq2seq_expert_loss(
                     expert, state.lip_expert_params, g * 255.0, batch["text_tokens"]
                 )
@@ -362,6 +380,7 @@ def train(
     metrics_writer=None,
     syncnet_params=None,
     lip_expert_params=None,
+    lip_expert_model=None,
     sample_dir: Optional[str] = None,
     mesh_spec=None,
     steps_per_dispatch: int = 8,
@@ -389,7 +408,8 @@ def train(
     spec = mesh_spec or build_mesh(MeshConfig())
     key = prng.make_root_key(seed)
     state = create_state(cfg, key, syncnet_params=syncnet_params,
-                         lip_expert_params=lip_expert_params)
+                         lip_expert_params=lip_expert_params,
+                         lip_expert_model=lip_expert_model)
     mgr = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
     start_step = 0
     if mgr is not None and mgr.latest_step() is not None:
