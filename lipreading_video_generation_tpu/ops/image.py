@@ -33,6 +33,7 @@ __all__ = [
     "rgb_to_lab",
     "lab_to_rgb",
     "clahe",
+    "clahe_xla",
     "contrast_boost",
     "canny_edges",
     "lucas_kanade_flow",
@@ -289,7 +290,28 @@ def clahe(
     """Contrast-limited adaptive histogram equalization on (..., H, W) uint8/
     float [0,255] single-channel images.
 
-    True CLAHE, TPU-style: per-tile 256-bin histograms are one-hot matmuls
+    True CLAHE, TPU-style. On TPU, supported shapes route to the fused
+    Pallas kernel (ops/clahe_pallas.py) — same math, but the
+    (..., H, W, nbins) intermediates stay in VMEM instead of costing
+    ~3 GB of HBM traffic per 1280-frame pass. Everything else takes the
+    XLA reference path (``clahe_xla``).
+    """
+    from .clahe_pallas import clahe_pallas, clahe_supported
+
+    if jax.default_backend() == "tpu" and clahe_supported(
+        img.shape[-2], img.shape[-1], grid, nbins
+    ):
+        return clahe_pallas(img, clip_limit, grid, nbins)
+    return clahe_xla(img, clip_limit, grid, nbins)
+
+
+def clahe_xla(
+    img: jax.Array,
+    clip_limit: float = 0.2,
+    grid: Tuple[int, int] = (8, 8),
+    nbins: int = 256,
+) -> jax.Array:
+    """XLA reference CLAHE: per-tile 256-bin histograms are one-hot matmuls
     (MXU-friendly), clip-and-redistribute matches OpenCV (limit =
     max(1, clip_limit*tile_area/nbins)), per-tile CDF LUTs are cumsums, and
     each output pixel bilinearly interpolates the 4 neighboring tile LUTs.

@@ -108,6 +108,37 @@ def test_clahe_close_to_cv2(rng):
     assert np.mean(np.abs(got - want)) < 8
 
 
+def test_clahe_pallas_matches_xla(rng):
+    """The fused Pallas kernel (interpret mode here) computes the same
+    CLAHE as the XLA reference path: exact histograms/CDF/LUT, bf16 blend
+    quantization only (≤1 gray level after rounding on either side)."""
+    from lipreading_video_generation_tpu.ops.clahe_pallas import (
+        clahe_pallas,
+        clahe_supported,
+    )
+
+    for shape, grid in [((48, 48), (8, 8)), ((2, 48, 48), (8, 8)),
+                        ((50, 46), (8, 8)), ((64, 64), (4, 4))]:
+        assert clahe_supported(shape[-2], shape[-1], grid)
+        x = rng.integers(0, 256, shape, dtype=np.uint8)
+        ref = np.asarray(im.clahe(jnp.asarray(x), 2.0, grid)).astype(np.int32)
+        got = np.asarray(
+            clahe_pallas(jnp.asarray(x), 2.0, grid, interpret=True)
+        ).astype(np.int32)
+        d = np.abs(ref - got)
+        assert d.max() <= 2 and (d > 1).mean() < 0.01, (shape, grid, d.max())
+
+
+def test_clahe_pallas_close_to_cv2(rng):
+    from lipreading_video_generation_tpu.ops.clahe_pallas import clahe_pallas
+
+    x = rng.integers(0, 256, (48, 48), dtype=np.uint8)
+    got = np.asarray(clahe_pallas(jnp.asarray(x), 2.0, (8, 8),
+                                  interpret=True)).astype(np.int32)
+    want = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8)).apply(x).astype(np.int32)
+    assert np.mean(np.abs(got - want)) < 8
+
+
 def test_clahe_improves_contrast(rng):
     # low-contrast image: CLAHE must widen the histogram
     x = (rng.integers(100, 140, (64, 64))).astype(np.uint8)
