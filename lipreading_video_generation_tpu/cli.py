@@ -690,10 +690,13 @@ def main(argv: List[str] | None = None) -> int:
                 cond_np = rng.integers(0, 256, (d.im_size, d.im_size, 3), dtype=np.uint8)
                 windows_np = rng.standard_normal(
                     (args.frames, d.audio_samples)).astype(np.float32)
+            from .parallel.mesh import build_mesh
+
             clip = np.asarray(sample_diffusion.sample_video(
                 state, jnp.asarray(cond_np), jnp.asarray(windows_np),
                 jax.random.key(cfg.seed), d,
                 num_inference_steps=args.ddim_steps, eta=args.eta,
+                mesh_spec=build_mesh(cfg.mesh),   # frames shard over the chips
             ))
             if args.out.endswith((".mp4", ".avi")):
                 video_io.write_video(args.out, clip, fps=fps)
@@ -750,13 +753,16 @@ def main(argv: List[str] | None = None) -> int:
                 jax.random.key(cfg.seed),
                 jnp.zeros((1, 80, 16, 1)), jnp.zeros((1, 96, 96, 6)),
             )["params"]
+        from .parallel.mesh import build_mesh
+
         s3fd_params = s3fd_params_or_init(args.s3fd_checkpoint)
         res = lipsync_video(gen_params, s3fd_params, args.face, args.audio, args.out,
                             cfg.gan, cfg.audio, cfg.preprocess, static_frame=args.static,
                             model_width=cfg.gan.model_width,
                             pads=tuple(args.pads), resize_factor=args.resize_factor,
                             crop=tuple(args.crop), rotate=args.rotate,
-                            nosmooth=args.nosmooth)
+                            nosmooth=args.nosmooth,
+                            mesh_spec=build_mesh(cfg.mesh))   # serving DP over the chips
         print(f"wrote {args.out} ({len(res.frames)} frames, muxed={res.muxed})")
         return 0
 

@@ -164,6 +164,75 @@ def prepare_input_frames(
     return frames, fps
 
 
+def generate_frames(
+    gen_params,
+    frames_seq: np.ndarray,      # (N, H, W, 3) uint8 input frames
+    boxes: np.ndarray,           # (N, 4) y1y2x1x2 face boxes
+    mel_windows: np.ndarray,     # (N, 80, 16) aligned mel chunks
+    gan_cfg: GanConfig = GanConfig(),
+    pre_cfg: PreprocessConfig = PreprocessConfig(),
+    model_width: float = 1.0,
+    mesh_spec=None,
+) -> np.ndarray:
+    """Generate + paste back every output frame as ONE device program,
+    data-parallel over the mesh (the serving analog of the trainers' mesh
+    wiring): the per-step batch axis shards over the ``data`` axis, params
+    place through the ``shard_params`` policy, and ``lax.map`` runs the
+    step-stacked batches in a single dispatch. On one chip this degenerates
+    to the single-device program; the reference instead loops 128-frame
+    batches through one GPU (gan-model/inference.py:261-265).
+    """
+    from ..core.config import MeshConfig
+    from ..parallel.mesh import (
+        build_mesh,
+        pad_to_multiple,
+        shard_params,
+        shard_stacked_batch,
+    )
+
+    spec = mesh_spec or build_mesh(MeshConfig())
+    num_out = len(frames_seq)
+    gen = TalkingFaceGenerator(width=model_width)
+    img = gan_cfg.img_size
+
+    def gen_batch(params, frames_u8, boxes_b, mels):
+        crops = jax.vmap(
+            lambda f, b: image_ops.crop_and_resize(f, b, (img, img))
+        )(frames_u8.astype(jnp.float32), boxes_b)
+        faces = crops / 255.0
+        masked = image_ops.mask_lower_half(faces)
+        x = image_ops.concat_reference(masked, faces)  # ref = current frame (inference.py:123-156)
+        g = gen.apply({"params": params}, mels[..., None], x)
+        out = jax.vmap(paste_back)(frames_u8.astype(jnp.float32), g * 255.0, boxes_b)
+        return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+
+    # one device program for the whole video: pad to a batch multiple and
+    # lax.map over step-stacked batches — a single dispatch + single host
+    # fetch instead of one round trip per 128-frame batch
+    bs = pad_to_multiple(min(pre_cfg.gen_batch_size, num_out), spec.data_size)
+    n_pad = (-num_out) % bs
+    fb = np.concatenate([frames_seq, np.repeat(frames_seq[-1:], n_pad, 0)])
+    bb = np.concatenate([boxes, np.repeat(boxes[-1:], n_pad, 0)])
+    mb = np.concatenate([np.asarray(mel_windows),
+                         np.repeat(np.asarray(mel_windows[-1:]), n_pad, 0)])
+    nb = len(fb) // bs
+    stacked = (
+        fb.reshape((nb, bs) + fb.shape[1:]),
+        bb.reshape(nb, bs, 4),
+        mb.reshape((nb, bs) + mb.shape[1:]),
+    )
+
+    @jax.jit
+    def gen_all(params, batches):
+        return jax.lax.map(lambda args: gen_batch(params, *args), batches)
+
+    with spec.mesh:
+        params = shard_params(spec, gen_params)
+        batches = shard_stacked_batch(spec, stacked)
+        out = gen_all(params, batches)
+    return np.asarray(out).reshape((-1,) + frames_seq.shape[1:])[:num_out]
+
+
 def lipsync_video(
     gen_params,
     s3fd_params,
@@ -180,6 +249,7 @@ def lipsync_video(
     crop: tuple = (0, -1, 0, -1),
     rotate: bool = False,
     nosmooth: bool = False,
+    mesh_spec=None,
 ) -> InferenceResult:
     """End-to-end lip-sync (main, inference.py:183-279), with the
     reference's full knob set (:30-52): pads / resize_factor / crop /
@@ -220,44 +290,10 @@ def lipsync_video(
 
     mel_windows = _mel_chunks(mel, num_out, fps, audio_cfg)  # (N, 80, 16)
 
-    gen = TalkingFaceGenerator(width=model_width)
-    img = gan_cfg.img_size
-
-    @jax.jit
-    def gen_batch(frames_u8, boxes_b, mels):
-        crops = jax.vmap(
-            lambda f, b: image_ops.crop_and_resize(f, b, (img, img))
-        )(frames_u8.astype(jnp.float32), boxes_b)
-        faces = crops / 255.0
-        masked = image_ops.mask_lower_half(faces)
-        x = image_ops.concat_reference(masked, faces)  # ref = current frame (inference.py:123-156)
-        g = gen.apply({"params": gen_params}, mels[..., None], x)
-        out = jax.vmap(paste_back)(frames_u8.astype(jnp.float32), g * 255.0, boxes_b)
-        return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
-
-    # one device program for the whole video: pad to a batch multiple and
-    # lax.map over batches — a single dispatch + single host fetch instead
-    # of one round trip per 128-frame batch (inference.py:261-265 looped)
-    bs = min(pre_cfg.gen_batch_size, num_out)
-    n_pad = (-num_out) % bs
-    fb = np.concatenate([frames_seq, np.repeat(frames_seq[-1:], n_pad, 0)])
-    bb = np.concatenate([boxes, np.repeat(boxes[-1:], n_pad, 0)])
-    mb = np.concatenate([np.asarray(mel_windows),
-                         np.repeat(np.asarray(mel_windows[-1:]), n_pad, 0)])
-    nb = len(fb) // bs
-
-    @jax.jit
-    def gen_all(frames_u8, boxes_all, mels_all):
-        batches = (
-            frames_u8.reshape((nb, bs) + frames_u8.shape[1:]),
-            boxes_all.reshape(nb, bs, 4),
-            mels_all.reshape((nb, bs) + mels_all.shape[1:]),
-        )
-        return jax.lax.map(lambda args: gen_batch(*args), batches)
-
-    result = np.asarray(
-        gen_all(jnp.asarray(fb), jnp.asarray(bb), jnp.asarray(mb))
-    ).reshape((-1,) + frames_seq.shape[1:])[:num_out]
+    result = generate_frames(
+        gen_params, frames_seq, np.asarray(boxes), np.asarray(mel_windows),
+        gan_cfg, pre_cfg, model_width, mesh_spec=mesh_spec,
+    )
 
     import os
 

@@ -142,10 +142,9 @@ def run(
     )
 
     # sentence-level eval over the full word sequence (sentence_eval.py:36-56)
-    import jax.numpy as jnp
-
     fixed = np.stack([sampler._fix(c) for c in ds.clips])
-    logp = np.asarray(train_vivit.predict_step(state, jnp.asarray(fixed)))
+    # serving DP: the clip batch shards over the mesh data axis
+    logp = np.asarray(train_vivit.predict_sharded(state, fixed))
     vocab_list = [w for w, _ in sorted(ds.vocab.items(), key=lambda kv: kv[1])]
     # trained neural LM over the dataset's own transcripts (the reference's
     # DistilBERT-CoLA role, sentence_eval.py:37-38); bigram fallback when

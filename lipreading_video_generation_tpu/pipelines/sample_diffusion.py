@@ -117,6 +117,7 @@ def sample(
     segment_size: int = 50,
     num_inference_steps: int | None = None,
     eta: float = 0.0,
+    mesh_spec=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (x0 (B, H, W, 3) in [0,1], snapshots (S, B, H, W, 3)).
     ``use_ema`` samples with the EMA shadow params (utils.py:92-102).
@@ -124,11 +125,43 @@ def sample(
     ``num_inference_steps`` < ``cfg.num_timesteps`` switches to DDIM over a
     strided timestep subsequence — e.g. 50 model forwards instead of the
     reference's 500 (test.py:57-64) for near-equal sample quality;
-    ``eta`` = 0 is deterministic DDIM, 1 matches DDPM ancestral variance."""
+    ``eta`` = 0 is deterministic DDIM, 1 matches DDPM ancestral variance.
+
+    ``mesh_spec`` runs the whole trajectory data-parallel over the mesh —
+    the serving analog of the trainers' mesh wiring: the batch axis (the
+    frames of a clip, for ``sample_video``) shards over the ``data`` axis
+    and params place through the public ``shard_params`` policy. The PRNG
+    draws are sharding-independent, so results match the single-device
+    trajectory."""
+    import contextlib
+
+    mesh_ctx = contextlib.nullcontext()
+    if mesh_spec is not None:
+        from ..parallel.mesh import shard_batch, shard_state
+
+        mesh_ctx = mesh_spec.mesh
+        state = shard_state(mesh_spec, state)
+        cond_frame_uint8 = shard_batch(mesh_spec, np.asarray(cond_frame_uint8))
+        audio_wave = shard_batch(mesh_spec, np.asarray(audio_wave))
+    with mesh_ctx:
+        return _sample_impl(
+            state, cond_frame_uint8, audio_wave, key, cfg, snapshot_every,
+            use_ema, segment_size, num_inference_steps, eta, mesh_spec,
+        )
+
+
+def _sample_impl(
+    state, cond_frame_uint8, audio_wave, key, cfg, snapshot_every,
+    use_ema, segment_size, num_inference_steps, eta, mesh_spec=None,
+) -> Tuple[jax.Array, jax.Array]:
     cond_map = encode_condition(state, cond_frame_uint8, audio_wave, cfg, use_ema)
     b = cond_frame_uint8.shape[0]
     k0, kloop = jax.random.split(key)
     xt = jax.random.normal(k0, (b, cfg.im_size, cfg.im_size, cfg.im_channels))
+    if mesh_spec is not None:
+        from ..parallel.mesh import batch_sharding
+
+        xt = jax.device_put(xt, batch_sharding(mesh_spec, xt.ndim))
 
     ddim = (num_inference_steps is not None
             and num_inference_steps < cfg.num_timesteps)
@@ -167,6 +200,7 @@ def sample_video(
     segment_size: int = 50,
     num_inference_steps: int | None = None,
     eta: float = 0.0,
+    mesh_spec=None,
 ) -> jax.Array:
     """Generate a T-frame clip: (T, im_size, im_size, 3) uint8.
 
@@ -175,13 +209,16 @@ def sample_video(
     whole clip denoises as ONE batched trajectory — one ``sample`` call at
     batch=T instead of T sequential 500-step loops (the reference's
     test.py:51-83 samples a single frame per full loop). Per-frame xt is
-    seeded independently by the batched normal draw."""
+    seeded independently by the batched normal draw.
+
+    ``mesh_spec`` shards the clip's frames over the mesh ``data`` axis —
+    an n-chip clip generates n× faster (see ``sample``)."""
     t = audio_windows.shape[0]
     cond = jnp.broadcast_to(cond_frame_uint8[None], (t,) + tuple(cond_frame_uint8.shape))
     x0, _ = sample(
         state, cond, audio_windows, key, cfg,
         snapshot_every=cfg.num_timesteps + 1,   # no snapshots needed
         use_ema=use_ema, segment_size=segment_size,
-        num_inference_steps=num_inference_steps, eta=eta,
+        num_inference_steps=num_inference_steps, eta=eta, mesh_spec=mesh_spec,
     )
     return image_ops.denormalize_to_uint8(x0)  # x0 already in [0,1]

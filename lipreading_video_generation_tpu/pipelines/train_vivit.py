@@ -118,6 +118,24 @@ def predict_step(state: TrainState, clips_uint8: jax.Array) -> jax.Array:
     return jax.nn.log_softmax(logits, axis=-1)
 
 
+def predict_sharded(
+    state: TrainState, clips_uint8, mesh_spec: Optional[MeshSpec] = None
+) -> jax.Array:
+    """``predict_step`` data-parallel over the mesh — the serving analog of
+    the trainers' mesh wiring: the clip batch shards over the ``data`` axis,
+    params place through the public ``shard_params`` policy (replicated
+    under pure DP, tensor-parallel when the model axis is live). On a single
+    chip this degenerates to ``predict_step`` exactly.
+    """
+    from ..parallel.mesh import shard_params
+
+    spec = mesh_spec or build_mesh()
+    with spec.mesh:
+        state = state.replace(params=shard_params(spec, state.params))
+        clips = shard_batch(spec, np.asarray(clips_uint8))
+        return predict_step(state, clips)
+
+
 def evaluate(state: TrainState, batches: Iterable[Dict[str, np.ndarray]]) -> Dict[str, float]:
     total = {"loss": 0.0, "accuracy": 0.0, "count": 0.0}
     for batch in batches:

@@ -1,0 +1,103 @@
+"""Self-healing persistent XLA compilation cache.
+
+XLA-CPU compiles of the bigger models take minutes on small hosts and
+remote-TPU compiles pay relay round trips, so every entrypoint (test
+suite, CLI, bench scripts, the driver's multi-chip dryrun) shares a
+persistent on-disk cache.
+
+The healing protocol guards against kill-during-write corruption: a
+process killed mid-cache-write (timeout/SIGKILL) can leave a truncated
+entry whose deserialization SEGFAULTS a later run inside
+``jax compilation_cache.get_executable_and_time``. Each session drops a
+per-PID marker in the cache dir; on startup, a marker whose process is
+dead means that session was killed, so every cache entry written since
+that marker's creation (the only files that can be truncated) is deleted
+before JAX reads anything.
+"""
+from __future__ import annotations
+
+import atexit
+import glob
+import os
+
+
+def pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def touch_marker(marker: str) -> None:
+    """Heartbeat: advance the session marker's mtime. Entries written
+    BEFORE the latest heartbeat are known-complete (cache writes happen
+    serially inside the work the heartbeat brackets), so if the session is
+    later killed, ``heal_cache_dir`` only discards entries from the final
+    heartbeat window instead of the whole run — a timeout-killed test run
+    keeps almost all of its compiles."""
+    try:
+        os.utime(marker, None)
+    except OSError:
+        pass
+
+
+def heal_cache_dir(cache_dir: str) -> None:
+    """Delete cache entries written by sessions that died mid-run (their
+    ``.session_running.<pid>`` marker exists but the pid is gone). Only
+    entries newer than the marker's last heartbeat (see ``touch_marker``)
+    can be truncated; older ones are kept."""
+    for marker in glob.glob(os.path.join(cache_dir, ".session_running.*")):
+        try:
+            pid = int(marker.rsplit(".", 1)[1])
+        except ValueError:
+            continue
+        if pid_alive(pid):
+            continue  # a concurrent live session — leave its writes alone
+        try:
+            born = os.path.getmtime(marker)
+        except OSError:
+            continue
+        for root, _, files in os.walk(cache_dir):
+            for f in files:
+                p = os.path.join(root, f)
+                try:
+                    if not f.startswith(".session_running") and \
+                            os.path.getmtime(p) >= born - 1.0:
+                        os.remove(p)
+                except OSError:
+                    pass
+        try:
+            os.remove(marker)
+        except OSError:
+            pass
+
+
+def enable_persistent_cache(
+    cache_dir: str,
+    min_compile_secs: float = 0.5,
+    min_entry_bytes: int = 0,
+) -> str:
+    """Heal ``cache_dir``, mark this session live (marker auto-removed at
+    clean exit), and point JAX's persistent compilation cache at it.
+    Returns the marker path."""
+    import jax
+
+    os.makedirs(cache_dir, exist_ok=True)
+    heal_cache_dir(cache_dir)
+    marker = os.path.join(cache_dir, f".session_running.{os.getpid()}")
+    open(marker, "w").close()
+
+    def _cleanup(path=marker):
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+
+    atexit.register(_cleanup)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", min_compile_secs)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", min_entry_bytes)
+    return marker

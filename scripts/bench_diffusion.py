@@ -25,6 +25,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true", help="16x16 quick config")
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--ddim-steps", type=int, default=None,
+                    help="DDIM few-step sampling: N model forwards instead "
+                         "of the full T-step DDPM chain; reports seconds "
+                         "per image alongside steps/sec")
     args = ap.parse_args()
 
     from lipreading_video_generation_tpu.core.config import DiffusionConfig
@@ -47,12 +51,15 @@ def main():
                                     dtype=np.uint8))
     audio = jnp.asarray(rng.standard_normal((args.batch, cfg.audio_samples)).astype(np.float32))
 
+    n_steps = args.ddim_steps or cfg.num_timesteps
+    kw = dict(num_inference_steps=args.ddim_steps) if args.ddim_steps else {}
+
     # compile + warm
-    x0, _ = sample_diffusion.sample(state, cond, audio, key, cfg)
+    x0, _ = sample_diffusion.sample(state, cond, audio, key, cfg, **kw)
     _ = np.asarray(x0)
 
     t0 = time.perf_counter()
-    x0, _ = sample_diffusion.sample(state, cond, audio, jax.random.key(1), cfg)
+    x0, _ = sample_diffusion.sample(state, cond, audio, jax.random.key(1), cfg, **kw)
     _ = np.asarray(x0)
     total = time.perf_counter() - t0
 
@@ -68,12 +75,14 @@ def main():
     step_flops = (
         {k: v / seg for k, v in seg_flops.items()} if seg_flops else None)
 
-    steps_per_sec = cfg.num_timesteps / total
+    steps_per_sec = n_steps / total
     print(json.dumps({
         "metric": "diffusion_denoise_steps_per_sec",
         "value": round(steps_per_sec, 2),
-        "unit": f"steps/sec @ {cfg.im_size}x{cfg.im_size} batch={args.batch}",
+        "unit": f"steps/sec @ {cfg.im_size}x{cfg.im_size} batch={args.batch}"
+                + (f" ddim={args.ddim_steps}" if args.ddim_steps else ""),
         "total_s": round(total, 3),
+        "sec_per_image": round(total / args.batch, 3),
         **mfu_report(step_flops, 1.0 / steps_per_sec),
     }))
 

@@ -40,49 +40,20 @@ _CACHE_DIR = os.path.abspath(
     os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache"))
 
 
-def _pid_alive(pid: int) -> bool:
-    try:
-        os.kill(pid, 0)
-    except ProcessLookupError:
-        return False
-    except PermissionError:
-        return True
-    return True
+# Shared implementation (also used by __graft_entry__.dryrun_multichip and
+# any non-pytest entrypoint that wants the same healing protocol).
+from lipreading_video_generation_tpu.utils.compile_cache import (  # noqa: E402
+    enable_persistent_cache,
+    heal_cache_dir,
+    pid_alive as _pid_alive,
+)
 
 
 def _heal_cache_dir(cache_dir: str = _CACHE_DIR) -> None:
-    import glob
-
-    for marker in glob.glob(os.path.join(cache_dir, ".session_running.*")):
-        try:
-            pid = int(marker.rsplit(".", 1)[1])
-        except ValueError:
-            continue
-        if _pid_alive(pid):
-            continue  # a concurrent live session — leave its writes alone
-        try:
-            born = os.path.getmtime(marker)
-        except OSError:
-            continue
-        for root, _, files in os.walk(cache_dir):
-            for f in files:
-                p = os.path.join(root, f)
-                try:
-                    if not f.startswith(".session_running") and \
-                            os.path.getmtime(p) >= born - 1.0:
-                        os.remove(p)
-                except OSError:
-                    pass
-        try:
-            os.remove(marker)
-        except OSError:
-            pass
+    heal_cache_dir(cache_dir)
 
 
-os.makedirs(_CACHE_DIR, exist_ok=True)
-_heal_cache_dir()
-_MARKER = os.path.join(_CACHE_DIR, f".session_running.{os.getpid()}")
-open(_MARKER, "w").close()
+_MARKER = enable_persistent_cache(_CACHE_DIR)
 
 
 def pytest_sessionfinish(session, exitstatus):
@@ -92,9 +63,13 @@ def pytest_sessionfinish(session, exitstatus):
         pass
 
 
-jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+def pytest_runtest_logfinish(nodeid, location):
+    """Heartbeat after every test: entries cached before this instant are
+    known-complete, so a later timeout-kill only invalidates the final
+    heartbeat window of cache writes, not the whole run's."""
+    from lipreading_video_generation_tpu.utils.compile_cache import touch_marker
+
+    touch_marker(_MARKER)
 
 
 @pytest.fixture

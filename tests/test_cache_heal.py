@@ -60,3 +60,26 @@ def test_malformed_marker_ignored(tmp_path):
 def test_own_session_left_marker():
     """The running session registered its own marker at import."""
     assert os.path.exists(conftest._MARKER)
+
+
+def test_heartbeat_preserves_completed_entries(tmp_path):
+    """A killed session with heartbeats (touch_marker after each test) only
+    loses entries from the final heartbeat window — entries completed
+    before the last heartbeat survive healing."""
+    from lipreading_video_generation_tpu.utils import compile_cache as cc
+
+    cache = str(tmp_path)
+    now = time.time()
+    marker = os.path.join(cache, ".session_running.4194305")
+    _touch(marker, mtime=now - 600)            # session start
+    _touch(os.path.join(cache, "early_entry"), mtime=now - 300)
+    # heartbeat advanced the marker AFTER early_entry was fully written
+    os.utime(marker, (now - 60, now - 60))
+    # this entry was mid-write at kill time (newer than the last heartbeat)
+    _touch(os.path.join(cache, "truncated_entry"), mtime=now - 10)
+
+    cc.heal_cache_dir(cache)
+
+    assert os.path.exists(os.path.join(cache, "early_entry"))
+    assert not os.path.exists(os.path.join(cache, "truncated_entry"))
+    assert not os.path.exists(marker)

@@ -253,3 +253,90 @@ def test_shard_stacked_batch_layout():
     assert out["x"].sharding.spec == P(None, "data", None, None)
     assert len(out["x"].sharding.device_set) == 8
     assert out["y"].sharding.spec == P()
+
+
+def test_predict_sharded_matches_single_device():
+    """Serving-side DP: ViViT predictions over the 8-device mesh (and a
+    dp4×tp2 mesh with live param shardings) equal the single-device ones."""
+    from lipreading_video_generation_tpu.core.config import ViViTConfig
+    from lipreading_video_generation_tpu.pipelines import train_vivit
+
+    cfg = ViViTConfig(
+        num_classes=8, hidden_size=64, num_layers=2, num_heads=4, mlp_dim=128,
+        dtype="float32",
+    )
+    state = train_vivit.create_state(cfg, jax.random.key(0))
+    clips = np.random.default_rng(0).integers(
+        0, 256, (16, cfg.num_frames, cfg.image_size, cfg.image_size, 1),
+        dtype=np.uint8,
+    )
+    want = np.asarray(train_vivit.predict_step(state, jnp.asarray(clips)))
+    got = np.asarray(train_vivit.predict_sharded(state, clips))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    spec = pmesh.build_mesh(MeshConfig(model_parallel=2, model_shard_threshold=4096))
+    got_tp = np.asarray(train_vivit.predict_sharded(state, clips, mesh_spec=spec))
+    np.testing.assert_allclose(got_tp, want, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_generate_frames_dp8_matches_single_device():
+    """Serving-side DP for the lip-sync generator: the whole-video
+    generation program sharded over 8 devices produces the same frames as
+    the single-device program (≤1 gray level from reduced-precision
+    nondeterminism in the uint8 round)."""
+    from lipreading_video_generation_tpu.core.config import GanConfig, PreprocessConfig
+    from lipreading_video_generation_tpu.models.generator import TalkingFaceGenerator
+    from lipreading_video_generation_tpu.pipelines import inference
+
+    rng = np.random.default_rng(0)
+    width = 0.125
+    gen = TalkingFaceGenerator(width=width)
+    params = gen.init(
+        jax.random.key(0), jnp.zeros((1, 80, 16, 1)), jnp.zeros((1, 96, 96, 6))
+    )["params"]
+    n = 8
+    frames = rng.integers(0, 256, (n, 48, 64, 3), dtype=np.uint8)
+    boxes = np.tile(np.asarray([4.0, 44.0, 8.0, 56.0], np.float32), (n, 1))
+    mels = rng.standard_normal((n, 80, 16)).astype(np.float32)
+    kw = dict(
+        gan_cfg=GanConfig(model_width=width, dtype="float32"),
+        pre_cfg=PreprocessConfig(gen_batch_size=8),
+        model_width=width,
+    )
+    single = inference.generate_frames(
+        params, frames, boxes, mels,
+        mesh_spec=pmesh.build_mesh(MeshConfig(), devices=jax.devices()[:1]), **kw,
+    )
+    dp8 = inference.generate_frames(
+        params, frames, boxes, mels, mesh_spec=pmesh.build_mesh(MeshConfig()), **kw,
+    )
+    assert dp8.shape == single.shape == frames.shape
+    assert np.max(np.abs(dp8.astype(np.int32) - single.astype(np.int32))) <= 1
+
+
+@pytest.mark.slow
+def test_sample_video_dp8_matches_single_device():
+    """Whole-clip diffusion sampling sharded over the mesh: the clip's
+    frames split over the data axis, and the trajectory matches the
+    single-device one (the PRNG draws are sharding-independent)."""
+    from lipreading_video_generation_tpu.core.config import DiffusionConfig
+    from lipreading_video_generation_tpu.pipelines import sample_diffusion, train_diffusion
+
+    cfg = DiffusionConfig(
+        im_size=16, base_channels=8, channel_mult=(1, 2), num_res_blocks=1,
+        attention_resolutions=(2,), num_heads=2, time_embed_dim=16,
+        audio_embed_dim=16, audio_proj_dim=4, im_cond_channels=4,
+        audio_samples=800, num_timesteps=10, dtype="float32",
+    )
+    rng = np.random.default_rng(0)
+    state = train_diffusion.create_state(cfg, jax.random.key(0))
+    cond = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    audio = rng.standard_normal((8, 800)).astype(np.float32)
+    key = jax.random.key(1)
+    single = np.asarray(sample_diffusion.sample_video(
+        state, jnp.asarray(cond), jnp.asarray(audio), key, cfg))
+    dp8 = np.asarray(sample_diffusion.sample_video(
+        state, jnp.asarray(cond), jnp.asarray(audio), key, cfg,
+        mesh_spec=pmesh.build_mesh(MeshConfig())))
+    assert dp8.shape == single.shape == (8, 16, 16, 3)
+    assert np.max(np.abs(dp8.astype(np.int32) - single.astype(np.int32))) <= 1
