@@ -159,29 +159,24 @@ def crop_and_resize(
 
 
 def _bilinear_sample(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
-    """Sample (H, W, C) at the outer product of ys × xs with zero padding."""
+    """Sample (H, W, C) at the outer product of ys × xs with zero padding.
+
+    Separable MXU form: the bilinear weight of input row i at sample
+    coordinate y is the triangle max(0, 1 − |y − i|) — zero outside the
+    image, which reproduces zero padding exactly — so the whole
+    outer-product sampling is two small dense matmuls instead of four
+    per-pixel gathers. TPU gathers serialize on the scalar unit; the
+    gather form made serving paste-back (inference.py emb_roi2im analog)
+    ~1000× slower than the matmuls.
+    """
     H, W = img.shape[-3], img.shape[-2]
-    y0 = jnp.floor(ys)
-    x0 = jnp.floor(xs)
-    wy = (ys - y0)[:, None, None]
-    wx = (xs - x0)[None, :, None]
-    y0i = y0.astype(jnp.int32)
-    x0i = x0.astype(jnp.int32)
-
-    def _gather(yi, xi):
-        valid = ((yi >= 0) & (yi < H))[:, None, None] & ((xi >= 0) & (xi < W))[None, :, None]
-        yc = jnp.clip(yi, 0, H - 1)
-        xc = jnp.clip(xi, 0, W - 1)
-        vals = img[yc[:, None], xc[None, :]]
-        return jnp.where(valid, vals, 0.0)
-
-    v00 = _gather(y0i, x0i)
-    v01 = _gather(y0i, x0i + 1)
-    v10 = _gather(y0i + 1, x0i)
-    v11 = _gather(y0i + 1, x0i + 1)
-    top = v00 * (1 - wx) + v01 * wx
-    bot = v10 * (1 - wx) + v11 * wx
-    return top * (1 - wy) + bot * wy
+    x = img.astype(jnp.float32)
+    wy = jnp.maximum(
+        0.0, 1.0 - jnp.abs(ys[:, None] - jnp.arange(H, dtype=jnp.float32)[None, :]))
+    wx = jnp.maximum(
+        0.0, 1.0 - jnp.abs(xs[:, None] - jnp.arange(W, dtype=jnp.float32)[None, :]))
+    hi = jnp.einsum("mh,hwc->mwc", wy, x, precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("nw,mwc->mnc", wx, hi, precision=jax.lax.Precision.HIGHEST)
 
 
 def center_crop(img: jax.Array, size: Tuple[int, int]) -> jax.Array:
