@@ -136,18 +136,35 @@ def sample(
     import contextlib
 
     mesh_ctx = contextlib.nullcontext()
+    b = cond_frame_uint8.shape[0]
+    n_pad = 0
     if mesh_spec is not None:
         from ..parallel.mesh import shard_batch, shard_state
 
+        # pad the batch to a data-axis multiple (serving mustn't constrain
+        # the caller's frame count); sliced back off below. The padded rows
+        # don't perturb the real ones: threefry fills draws by flat index,
+        # so the leading b rows of every padded PRNG draw equal the
+        # unpadded draw's.
+        n_pad = (-b) % mesh_spec.data_size
+        if n_pad:
+            cond_frame_uint8 = jnp.concatenate(
+                [cond_frame_uint8,
+                 jnp.repeat(cond_frame_uint8[-1:], n_pad, axis=0)])
+            audio_wave = jnp.concatenate(
+                [audio_wave, jnp.repeat(audio_wave[-1:], n_pad, axis=0)])
         mesh_ctx = mesh_spec.mesh
         state = shard_state(mesh_spec, state)
         cond_frame_uint8 = shard_batch(mesh_spec, np.asarray(cond_frame_uint8))
         audio_wave = shard_batch(mesh_spec, np.asarray(audio_wave))
     with mesh_ctx:
-        return _sample_impl(
+        x0, snaps = _sample_impl(
             state, cond_frame_uint8, audio_wave, key, cfg, snapshot_every,
             use_ema, segment_size, num_inference_steps, eta, mesh_spec,
         )
+    if n_pad:
+        x0, snaps = x0[:b], snaps[:, :b]
+    return x0, snaps
 
 
 def _sample_impl(

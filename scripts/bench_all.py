@@ -31,8 +31,13 @@ def main():
     summary["pipeline"] = run([sys.executable, "bench.py"])
     summary["vivit_train"] = run([sys.executable, "scripts/bench_vivit_train.py", "--steps", "24"])
     summary["gan_train"] = run([sys.executable, "scripts/bench_gan.py", "--steps", "5"])
+    summary["lipsync_serving"] = run(
+        [sys.executable, "scripts/bench_lipsync_serving.py"])
+    summary["face_detect"] = run([sys.executable, "scripts/bench_face_detect.py"])
     if not args.skip_diffusion:
         summary["diffusion_sampling"] = run([sys.executable, "scripts/bench_diffusion.py"])
+        summary["diffusion_sampling_ddim50"] = run(
+            [sys.executable, "scripts/bench_diffusion.py", "--ddim-steps", "50"])
         summary["diffusion_train"] = run(
             [sys.executable, "scripts/bench_diffusion_train.py", "--steps", "3"])
     with open(os.path.join(ROOT, args.out), "w") as f:

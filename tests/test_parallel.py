@@ -318,7 +318,10 @@ def test_generate_frames_dp8_matches_single_device():
 def test_sample_video_dp8_matches_single_device():
     """Whole-clip diffusion sampling sharded over the mesh: the clip's
     frames split over the data axis, and the trajectory matches the
-    single-device one (the PRNG draws are sharding-independent)."""
+    single-device one (the PRNG draws are sharding-independent). The clip
+    is 5 frames over 8 devices — non-divisible, so this also pins the
+    serving pad-to-mesh-multiple path (threefry's flat-index fill makes the
+    padded run's leading rows equal the unpadded run's)."""
     from lipreading_video_generation_tpu.core.config import DiffusionConfig
     from lipreading_video_generation_tpu.pipelines import sample_diffusion, train_diffusion
 
@@ -331,12 +334,12 @@ def test_sample_video_dp8_matches_single_device():
     rng = np.random.default_rng(0)
     state = train_diffusion.create_state(cfg, jax.random.key(0))
     cond = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
-    audio = rng.standard_normal((8, 800)).astype(np.float32)
+    audio = rng.standard_normal((5, 800)).astype(np.float32)
     key = jax.random.key(1)
     single = np.asarray(sample_diffusion.sample_video(
         state, jnp.asarray(cond), jnp.asarray(audio), key, cfg))
     dp8 = np.asarray(sample_diffusion.sample_video(
         state, jnp.asarray(cond), jnp.asarray(audio), key, cfg,
         mesh_spec=pmesh.build_mesh(MeshConfig())))
-    assert dp8.shape == single.shape == (8, 16, 16, 3)
+    assert dp8.shape == single.shape == (5, 16, 16, 3)
     assert np.max(np.abs(dp8.astype(np.int32) - single.astype(np.int32))) <= 1
