@@ -125,15 +125,24 @@ def predict_sharded(
     the trainers' mesh wiring: the clip batch shards over the ``data`` axis,
     params place through the public ``shard_params`` policy (replicated
     under pure DP, tensor-parallel when the model axis is live). On a single
-    chip this degenerates to ``predict_step`` exactly.
+    chip this degenerates to ``predict_step`` exactly. Batches that don't
+    divide the data axis are padded to a mesh multiple and sliced back —
+    the caller's clip count is unconstrained.
     """
     from ..parallel.mesh import shard_params
 
     spec = mesh_spec or build_mesh()
+    clips_np = np.asarray(clips_uint8)
+    n = len(clips_np)
+    n_pad = (-n) % spec.data_size
+    if n_pad:
+        clips_np = np.concatenate(
+            [clips_np, np.repeat(clips_np[-1:], n_pad, axis=0)])
     with spec.mesh:
         state = state.replace(params=shard_params(spec, state.params))
-        clips = shard_batch(spec, np.asarray(clips_uint8))
-        return predict_step(state, clips)
+        clips = shard_batch(spec, clips_np)
+        out = predict_step(state, clips)
+    return out[:n]
 
 
 def evaluate(state: TrainState, batches: Iterable[Dict[str, np.ndarray]]) -> Dict[str, float]:

@@ -273,6 +273,9 @@ def test_predict_sharded_matches_single_device():
     want = np.asarray(train_vivit.predict_step(state, jnp.asarray(clips)))
     got = np.asarray(train_vivit.predict_sharded(state, clips))
     np.testing.assert_allclose(got, want, atol=1e-5)
+    # non-divisible batch (13 over 8 devices): pad-to-mesh-multiple path
+    got13 = np.asarray(train_vivit.predict_sharded(state, clips[:13]))
+    np.testing.assert_allclose(got13, want[:13], atol=1e-5)
     spec = pmesh.build_mesh(MeshConfig(model_parallel=2, model_shard_threshold=4096))
     got_tp = np.asarray(train_vivit.predict_sharded(state, clips, mesh_spec=spec))
     np.testing.assert_allclose(got_tp, want, atol=1e-4)
