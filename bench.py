@@ -33,10 +33,16 @@ import jax
 import jax.numpy as jnp
 
 # persistent compilation cache: remote TPU compiles take minutes; warm runs
-# (same program) start in seconds
-_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu")
-jax.config.update("jax_compilation_cache_dir", _CACHE)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# (same program) start in seconds. Self-healing: a bench killed mid-write
+# can't leave a truncated entry that segfaults the next run.
+from lipreading_video_generation_tpu.utils.compile_cache import (  # noqa: E402
+    enable_persistent_cache,
+)
+
+enable_persistent_cache(
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"),
+    min_compile_secs=1.0,
+)
 
 NORTH_STAR_FPS = 2000.0
 

@@ -56,9 +56,9 @@ def _enable_compile_cache() -> None:
         "JAX_COMPILATION_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "lvg-tpu", "jax"),
     )
-    os.makedirs(path, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from .utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache(path, min_compile_secs=1.0)
 
 
 def main(argv: List[str] | None = None) -> int:
@@ -175,6 +175,10 @@ def main(argv: List[str] | None = None) -> int:
     p = _base_parser(sub, "train-syncnet", "pretrain the SyncNet expert")
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--preprocessed-root", default=None,
+                   help="preprocess-gan output root (color_syncnet_train.py's "
+                        "Dataset root role); --eval-auc-every holds out 2 "
+                        "clips for the discrimination report")
     p.add_argument("--objective", choices=("infonce_hard", "infonce", "bce"),
                    default="infonce_hard",
                    help="infonce_hard (default; in-batch contrastive with "
@@ -443,6 +447,15 @@ def main(argv: List[str] | None = None) -> int:
                 for root, dirs, files in os.walk(args.preprocessed_root):
                     if "audio.wav" in files:
                         clips.append(load_gan_clip(root))
+                if (args.cmd == "train-syncnet"
+                        and getattr(args, "eval_auc_every", 0)):
+                    # the discrimination AUC must be held-out on real data
+                    # too, not only on the synthetic path
+                    if len(clips) >= 4:
+                        clips, held_out_clips = clips[:-2], clips[-2:]
+                    else:
+                        print("warning: --eval-auc-every needs >= 4 clips "
+                              "to hold 2 out; AUC report disabled")
             have_text = any(c.text for c in clips)
             if args.cmd == "train-lip-expert" and not have_text:
                 parser.error(

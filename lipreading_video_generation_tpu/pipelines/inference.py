@@ -164,6 +164,32 @@ def prepare_input_frames(
     return frames, fps
 
 
+def lipsync_batch(
+    gen,                         # TalkingFaceGenerator module
+    params,
+    frames_u8: jax.Array,        # (B, H, W, 3) input frames
+    boxes: jax.Array,            # (B, 4) y1y2x1x2 face boxes
+    mels: jax.Array,             # (B, 80, 16) aligned mel chunks
+    img: int,                    # generator face size (gan_cfg.img_size)
+) -> jax.Array:
+    """One generation batch as a single device program: crop faces →
+    mask/concat-reference input prep → generator → paste back into the
+    full frames (the reference's datagen + model + emb_roi2im chain,
+    inference.py:110-156, 261-274). Shared by serving
+    (``generate_frames``) and the serving benchmark so the benched program
+    IS the production program."""
+    frames_f = frames_u8.astype(jnp.float32)
+    crops = jax.vmap(
+        lambda f, b: image_ops.crop_and_resize(f, b, (img, img))
+    )(frames_f, boxes)
+    faces = crops / 255.0
+    masked = image_ops.mask_lower_half(faces)
+    x = image_ops.concat_reference(masked, faces)  # ref = current frame (inference.py:123-156)
+    g = gen.apply({"params": params}, mels[..., None], x)
+    out = jax.vmap(paste_back)(frames_f, g * 255.0, boxes)
+    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+
+
 def generate_frames(
     gen_params,
     frames_seq: np.ndarray,      # (N, H, W, 3) uint8 input frames
@@ -192,19 +218,13 @@ def generate_frames(
 
     spec = mesh_spec or build_mesh(MeshConfig())
     num_out = len(frames_seq)
+    if num_out == 0:
+        return np.zeros((0,) + frames_seq.shape[1:], np.uint8)
     gen = TalkingFaceGenerator(width=model_width)
     img = gan_cfg.img_size
 
     def gen_batch(params, frames_u8, boxes_b, mels):
-        crops = jax.vmap(
-            lambda f, b: image_ops.crop_and_resize(f, b, (img, img))
-        )(frames_u8.astype(jnp.float32), boxes_b)
-        faces = crops / 255.0
-        masked = image_ops.mask_lower_half(faces)
-        x = image_ops.concat_reference(masked, faces)  # ref = current frame (inference.py:123-156)
-        g = gen.apply({"params": params}, mels[..., None], x)
-        out = jax.vmap(paste_back)(frames_u8.astype(jnp.float32), g * 255.0, boxes_b)
-        return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+        return lipsync_batch(gen, params, frames_u8, boxes_b, mels, img)
 
     # one device program for the whole video: pad to a batch multiple and
     # lax.map over step-stacked batches — a single dispatch + single host

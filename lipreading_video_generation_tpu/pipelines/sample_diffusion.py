@@ -135,6 +135,9 @@ def sample(
     trajectory."""
     import contextlib
 
+    if num_inference_steps is not None and num_inference_steps < 1:
+        raise ValueError(
+            f"num_inference_steps must be >= 1, got {num_inference_steps}")
     mesh_ctx = contextlib.nullcontext()
     b = cond_frame_uint8.shape[0]
     n_pad = 0
@@ -167,6 +170,17 @@ def sample(
     return x0, snaps
 
 
+def ddim_timesteps(num_timesteps: int, num_inference_steps: int) -> np.ndarray:
+    """The strided DDIM timestep subsequence: exactly ``num_inference_steps``
+    distinct timesteps in [0, num_timesteps), descending. Uses a fractional
+    stride floored per index (consecutive floors are distinct because the
+    spacing T/N >= 1); an integer floor-divided stride would run
+    ceil(T / (T // N)) steps — more than asked whenever N doesn't divide T
+    (e.g. T=500, N=300 would silently run the full 500-step chain)."""
+    return (np.arange(num_inference_steps)
+            * (num_timesteps / num_inference_steps)).astype(np.int64)[::-1]
+
+
 def _sample_impl(
     state, cond_frame_uint8, audio_wave, key, cfg, snapshot_every,
     use_ema, segment_size, num_inference_steps, eta, mesh_spec=None,
@@ -183,8 +197,7 @@ def _sample_impl(
     ddim = (num_inference_steps is not None
             and num_inference_steps < cfg.num_timesteps)
     if ddim:
-        stride = cfg.num_timesteps // num_inference_steps
-        ts_all = np.arange(0, cfg.num_timesteps, stride)[::-1]  # descending
+        ts_all = ddim_timesteps(cfg.num_timesteps, num_inference_steps)
         ts_prev_all = np.concatenate([ts_all[1:], [-1]])
     else:
         ts_all = np.arange(cfg.num_timesteps - 1, -1, -1)

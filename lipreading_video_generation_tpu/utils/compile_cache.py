@@ -31,6 +31,34 @@ def pid_alive(pid: int) -> bool:
     return True
 
 
+def proc_start_time(pid: int) -> str | None:
+    """The process's kernel start time (clock ticks since boot) from
+    /proc/<pid>/stat — the disambiguator for PID reuse. None when /proc
+    isn't available (non-Linux) or the process is gone."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            stat = f.read().decode("ascii", "replace")
+        # comm (field 2) may contain spaces/parens; fields after the LAST
+        # ')' start at state (field 3), so starttime (field 22) is index 19
+        return stat.rsplit(")", 1)[1].split()[19]
+    except (OSError, IndexError):
+        return None
+
+
+def session_alive(pid: int, recorded_start: str | None) -> bool:
+    """A marker's session is alive iff its PID is alive AND (when both
+    sides are known) the live process's start time matches the one the
+    marker recorded — otherwise the PID was recycled by an unrelated
+    process and the session is dead (PID reuse must not suppress healing:
+    a truncated entry would survive and segfault later runs)."""
+    if not pid_alive(pid):
+        return False
+    if recorded_start is None:
+        return True  # old-format marker or non-Linux: pid-only check
+    current = proc_start_time(pid)
+    return current is None or current == recorded_start
+
+
 def touch_marker(marker: str) -> None:
     """Heartbeat: advance the session marker's mtime. Entries written
     BEFORE the latest heartbeat are known-complete (cache writes happen
@@ -46,15 +74,28 @@ def touch_marker(marker: str) -> None:
 
 def heal_cache_dir(cache_dir: str) -> None:
     """Delete cache entries written by sessions that died mid-run (their
-    ``.session_running.<pid>`` marker exists but the pid is gone). Only
+    ``.session_running.<pid>`` marker exists but the session is gone —
+    PID dead, or PID recycled per the marker's recorded start time). Only
     entries newer than the marker's last heartbeat (see ``touch_marker``)
-    can be truncated; older ones are kept."""
+    can be truncated; older ones are kept.
+
+    Known tradeoff: deletion is by timestamp, not ownership — if a LIVE
+    session is writing concurrently while a dead marker is healed, valid
+    entries the live session wrote after the dead session's last heartbeat
+    are deleted too (they'll be re-compiled). Correctness (never read a
+    possibly-truncated entry: deserialization can SEGFAULT) wins over
+    availability here; the heartbeat bounds the loss to one window."""
     for marker in glob.glob(os.path.join(cache_dir, ".session_running.*")):
         try:
             pid = int(marker.rsplit(".", 1)[1])
         except ValueError:
             continue
-        if pid_alive(pid):
+        try:
+            with open(marker) as f:
+                recorded_start = f.read().strip() or None
+        except OSError:
+            recorded_start = None
+        if session_alive(pid, recorded_start):
             continue  # a concurrent live session — leave its writes alone
         try:
             born = os.path.getmtime(marker)
@@ -88,7 +129,8 @@ def enable_persistent_cache(
     os.makedirs(cache_dir, exist_ok=True)
     heal_cache_dir(cache_dir)
     marker = os.path.join(cache_dir, f".session_running.{os.getpid()}")
-    open(marker, "w").close()
+    with open(marker, "w") as f:
+        f.write(proc_start_time(os.getpid()) or "")
 
     def _cleanup(path=marker):
         try:

@@ -182,6 +182,14 @@ def _eqn_pallas_flops(eqn) -> tuple:
         n_model, n_hw = _FLASH_MATMULS[kind]
         return (2.0 * n_model * bh * sq * sk * d,
                 2.0 * n_hw * bh * sq_pad * sk_pad * d_pad)
+    # a kernel that declares its own pl.CostEstimate (e.g. the CLAHE
+    # kernel) is authoritative — its matmuls are algorithmic work, so
+    # model == hw; the shape heuristic below misreads non-attention
+    # operand layouts by orders of magnitude
+    cost = eqn.params.get("cost_estimate")
+    declared = float(getattr(cost, "flops", 0) or 0)
+    if declared > 0:
+        return declared, declared
     # unnamed pallas_call fallback: padded-shape heuristic (fwd=2 matmuls,
     # 6-operand bwd kernels average 3.5)
     n = 2.0 if len(shapes) == 3 else (3.5 if len(shapes) >= 6 else 0.0)

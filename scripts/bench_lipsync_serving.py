@@ -26,9 +26,15 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir, ".jax_cache_tpu")
-jax.config.update("jax_compilation_cache_dir", _CACHE)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from lipreading_video_generation_tpu.utils.compile_cache import (  # noqa: E402
+    enable_persistent_cache,
+)
+
+enable_persistent_cache(
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir,
+                 ".jax_cache_tpu"),
+    min_compile_secs=1.0,
+)
 
 
 def main():
@@ -42,8 +48,7 @@ def main():
 
     from lipreading_video_generation_tpu.core.config import GanConfig
     from lipreading_video_generation_tpu.models.generator import TalkingFaceGenerator
-    from lipreading_video_generation_tpu.ops import image as image_ops
-    from lipreading_video_generation_tpu.pipelines.inference import paste_back
+    from lipreading_video_generation_tpu.pipelines.inference import lipsync_batch
     from lipreading_video_generation_tpu.utils.flops import flops_detail, mfu_report
 
     gan_cfg = GanConfig(model_width=args.width)
@@ -63,15 +68,9 @@ def main():
     mels = jnp.asarray(rng.standard_normal((b, 80, 16)).astype(np.float32))
 
     def serve_pass(frames_u8):
-        crops = jax.vmap(
-            lambda f, bx: image_ops.crop_and_resize(f, bx, (img, img))
-        )(frames_u8.astype(jnp.float32), boxes)
-        faces = crops / 255.0
-        masked = image_ops.mask_lower_half(faces)
-        x = image_ops.concat_reference(masked, faces)
-        g = gen.apply({"params": params}, mels[..., None], x)
-        out = jax.vmap(paste_back)(frames_u8.astype(jnp.float32), g * 255.0, boxes)
-        return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+        # the production program itself (inference.lipsync_batch) — the
+        # bench measures exactly what infer-lipsync serves
+        return lipsync_batch(gen, params, frames_u8, boxes, mels, img)
 
     @jax.jit
     def repeated(frames_u8):

@@ -19,10 +19,15 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir,
-                      ".jax_cache_tpu")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from lipreading_video_generation_tpu.utils.compile_cache import (  # noqa: E402
+    enable_persistent_cache,
+)
+
+enable_persistent_cache(
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir,
+                 ".jax_cache_tpu"),
+    min_compile_secs=1.0,
+)
 
 
 def main():

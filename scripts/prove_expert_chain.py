@@ -52,10 +52,16 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     else:
-        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             os.pardir, ".jax_cache_tpu")
-        jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        from lipreading_video_generation_tpu.utils.compile_cache import (
+            enable_persistent_cache,
+        )
+
+        enable_persistent_cache(
+            os.path.abspath(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                os.pardir, ".jax_cache_tpu")),
+            min_compile_secs=1.0,
+        )
 
     import numpy as np
 

@@ -9,6 +9,8 @@ files that can be truncated.
 import os
 import time
 
+import pytest
+
 import conftest
 
 
@@ -60,6 +62,50 @@ def test_malformed_marker_ignored(tmp_path):
 def test_own_session_left_marker():
     """The running session registered its own marker at import."""
     assert os.path.exists(conftest._MARKER)
+
+
+@pytest.mark.skipif(not os.path.exists("/proc/1/stat"),
+                    reason="needs /proc for start-time disambiguation")
+def test_pid_reuse_detected_via_start_time(tmp_path):
+    """A dead session whose PID was recycled by an unrelated live process
+    must still heal: the marker's recorded start time disagrees with the
+    live process's, so the session is dead and its suspect entries go."""
+    from lipreading_video_generation_tpu.utils import compile_cache as cc
+
+    cache = str(tmp_path)
+    now = time.time()
+    marker = os.path.join(cache, ".session_running.1")  # PID 1 is alive
+    with open(marker, "w") as f:
+        f.write("999999999999")  # not PID 1's real start time
+    os.utime(marker, (now - 60, now - 60))
+    _touch(os.path.join(cache, "suspect_entry"), mtime=now - 10)
+
+    cc.heal_cache_dir(cache)
+
+    assert not os.path.exists(os.path.join(cache, "suspect_entry"))
+    assert not os.path.exists(marker)
+
+
+@pytest.mark.skipif(not os.path.exists("/proc/1/stat"),
+                    reason="needs /proc for start-time disambiguation")
+def test_matching_start_time_is_live(tmp_path):
+    """A marker whose PID and recorded start time both match a live
+    process is a live session — its writes stay."""
+    from lipreading_video_generation_tpu.utils import compile_cache as cc
+
+    cache = str(tmp_path)
+    now = time.time()
+    pid = os.getpid()
+    marker = os.path.join(cache, f".session_running.{pid}")
+    with open(marker, "w") as f:
+        f.write(cc.proc_start_time(pid) or "")
+    os.utime(marker, (now - 60, now - 60))
+    _touch(os.path.join(cache, "recent_entry"), mtime=now - 10)
+
+    cc.heal_cache_dir(cache)
+
+    assert os.path.exists(os.path.join(cache, "recent_entry"))
+    assert os.path.exists(marker)
 
 
 def test_heartbeat_preserves_completed_entries(tmp_path):

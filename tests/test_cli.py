@@ -280,3 +280,27 @@ def test_lip_expert_export_feeds_gan(tmp_path):
                    "--lip-expert-checkpoint", exp_ck,
                    "--set", "gan.lip_weight=0.01", *GAN_TINY])
     assert rc == 0
+
+
+@pytest.mark.slow
+def test_train_syncnet_real_data_auc_report(tmp_path, capsys):
+    """--eval-auc-every reports held-out discrimination AUC on REAL
+    preprocessed data too (not only the synthetic path): 4 clips on disk
+    → 2 train + 2 held out → the AUC line must print."""
+    import cv2
+
+    from lipreading_video_generation_tpu.data.video import save_wav
+
+    rng = np.random.default_rng(0)
+    for c in range(4):
+        clip = tmp_path / "pre" / f"clip{c}"
+        clip.mkdir(parents=True)
+        for i in range(25):
+            cv2.imwrite(str(clip / f"{i}.jpg"),
+                        rng.integers(0, 256, (32, 32, 3)).astype(np.uint8))
+        save_wav(str(clip / "audio.wav"),
+                 (rng.standard_normal(32000) * 0.1).astype(np.float32), 16000)
+    rc = cli.main(["train-syncnet", "--steps", "1", "--eval-auc-every", "1",
+                   "--preprocessed-root", str(tmp_path / "pre"), *GAN_TINY])
+    assert rc == 0
+    assert "held-out discrimination AUC=" in capsys.readouterr().out

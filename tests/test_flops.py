@@ -114,3 +114,20 @@ def test_mfu_report_detail_dict_adds_hfu(monkeypatch):
     assert r["mfu"] == pytest.approx(0.1)
     assert r["hw_tflops"] == 2.0
     assert r["hfu"] == pytest.approx(0.2)
+
+
+def test_pallas_declared_cost_estimate_counted():
+    """A pallas_call that declares its own pl.CostEstimate (the CLAHE
+    kernel) is counted at the declared FLOPs — not the attention-shaped
+    heuristic, which misreads its operand layout by orders of magnitude."""
+    from lipreading_video_generation_tpu.ops.clahe_pallas import clahe_pallas
+
+    img = jnp.zeros((2, 48, 48), jnp.uint8)
+    fn = jax.jit(lambda x: clahe_pallas(x, interpret=True))
+    got = F.pallas_flops(fn, img)
+    assert got is not None
+    m, h = got
+    # declared: 2*b*(2*hp*wp*gh*gw*nbins + nbins^2*gh*gw), b=2 48x48 g8x8
+    want = 2 * 2 * (2 * 48 * 48 * 64 * 256 + 256 * 256 * 64)
+    assert m == pytest.approx(want, rel=1e-6)
+    assert h == pytest.approx(want, rel=1e-6)

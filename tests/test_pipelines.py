@@ -560,3 +560,33 @@ def test_gan_train_stops_cleanly_on_finite_feed():
     cfg = GanConfig(model_width=0.125, batch_size=2, dtype="float32")
     state = train_gan.train(cfg, batch_fn, num_steps=10, steps_per_dispatch=2)
     assert int(state.step) == 3   # 2-step chunk + 1-step tail, then stop
+
+
+def test_ddim_timesteps_exact_count_and_bounds():
+    """The DDIM subsequence honors the requested step count exactly for
+    non-divisor N (floor-divided strides would run up to the full chain,
+    e.g. T=500 N=300), stays in [0, T), descends, and matches the plain
+    integer stride when N divides T."""
+    from lipreading_video_generation_tpu.pipelines.sample_diffusion import (
+        ddim_timesteps,
+    )
+
+    for T, N in [(500, 300), (500, 50), (500, 7), (10, 3), (10, 10), (500, 499)]:
+        ts = ddim_timesteps(T, N)
+        assert len(ts) == N
+        assert len(np.unique(ts)) == N
+        assert ts.min() == 0 and ts.max() < T
+        assert (np.diff(ts) < 0).all()
+    np.testing.assert_array_equal(
+        ddim_timesteps(500, 50), np.arange(0, 500, 10)[::-1])
+
+
+def test_sample_rejects_nonpositive_inference_steps():
+    from lipreading_video_generation_tpu.core.config import DiffusionConfig
+    from lipreading_video_generation_tpu.pipelines import sample_diffusion
+
+    with pytest.raises(ValueError, match="num_inference_steps"):
+        sample_diffusion.sample(
+            None, np.zeros((1, 16, 16, 3), np.uint8), np.zeros((1, 800)),
+            jax.random.key(0), DiffusionConfig(im_size=16, num_timesteps=10),
+            num_inference_steps=0)
