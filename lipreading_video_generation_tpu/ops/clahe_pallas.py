@@ -97,7 +97,10 @@ def _kernel(img_ref, tilesel_ref, w_ref, out_ref, *, hp, wp, gh, gw, nbins,
             clip_limit):
     x = img_ref[0]                                            # (hp, wp) f32
     vals = jnp.clip(jnp.round(x), 0, nbins - 1)
-    bins3 = jax.lax.broadcasted_iota(jnp.float32, (hp, wp, nbins), 2)
+    # Mosaic's tpu.iota only produces integers — a float iota verifies in
+    # interpret mode but fails real-TPU lowering, so iota int32 then cast
+    bins3 = jax.lax.broadcasted_iota(
+        jnp.int32, (hp, wp, nbins), 2).astype(jnp.float32)
     mask3 = vals[:, :, None] == bins3                         # (hp, wp, nbins)
     onehot = mask3.astype(jnp.bfloat16).reshape(hp * wp, nbins)
 
