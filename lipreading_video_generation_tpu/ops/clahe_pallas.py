@@ -104,8 +104,13 @@ def _kernel(img_ref, tilesel_ref, w_ref, out_ref, *, hp, wp, gh, gw, nbins,
     mask3 = vals[:, :, None] == bins3                         # (hp, wp, nbins)
     onehot = mask3.astype(jnp.bfloat16).reshape(hp * wp, nbins)
 
-    # per-tile histograms: exact bf16×bf16→f32 matmul (0/1 operands)
-    hist = jnp.dot(tilesel_ref[:], onehot, preferred_element_type=jnp.float32)
+    # per-tile histograms: exact bf16×bf16→f32 matmul (0/1 operands).
+    # Precision pinned DEFAULT: a global jax_default_matmul_precision=
+    # "highest" would request an fp32 contract on bf16 operands, which
+    # Mosaic rejects ("Bad lhs type") — and buys nothing here, the
+    # operands are exact 0/1 and the f32 accumulator already is exact.
+    hist = jnp.dot(tilesel_ref[:], onehot, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.DEFAULT)
 
     tile_area = (hp // gh) * (wp // gw)
     limit = max(1.0, clip_limit * tile_area / nbins)          # python float: static
@@ -121,8 +126,10 @@ def _kernel(img_ref, tilesel_ref, w_ref, out_ref, *, hp, wp, gh, gw, nbins,
     lut = jnp.clip(jnp.round(cdf * (nbins - 1) / tile_area), 0, nbins - 1)
 
     # per-pixel blended LUT: one matmul against the bilinear corner weights
+    # (precision pinned for the same Mosaic bf16 constraint as above)
     m = jnp.dot(w_ref[:], lut.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32)           # (hp·wp, nbins)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)          # (hp·wp, nbins)
     out = jnp.sum(jnp.where(mask3, m.reshape(hp, wp, nbins), 0.0), axis=-1)
     out_ref[0] = out
 

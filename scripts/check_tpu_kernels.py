@@ -81,6 +81,22 @@ def main() -> int:
         for gi, (a_, b_) in zip("qkv", zip(g1, g2)):
             ok &= check(f"{name} d{gi}", a_, b_, 2e-3, 2e-3)
 
+    # CLAHE: the compiled Mosaic kernel vs the XLA blended-LUT reference.
+    # Interpret mode can't catch lowering-legality bugs (a float iota once
+    # verified on CPU but failed tpu.iota's integer-only constraint here).
+    from lipreading_video_generation_tpu.ops.clahe_pallas import clahe_pallas
+    from lipreading_video_generation_tpu.ops.image import clahe_xla
+
+    img = jnp.asarray(rng.integers(0, 256, (4, 48, 48)), jnp.uint8)
+    got = np.asarray(jax.jit(
+        lambda x: clahe_pallas(x, interpret=False))(img)).astype(np.int32)
+    want = np.asarray(clahe_xla(img)).astype(np.int32)
+    diff = int(np.abs(got - want).max())
+    clahe_ok = diff <= 2  # rounding-path differences only
+    print(f"{'PASS' if clahe_ok else 'FAIL'} clahe pallas-vs-xla: "
+          f"max abs diff {diff} gray levels")
+    ok &= clahe_ok
+
     print("ALL PASS" if ok else "FAILURES PRESENT")
     return 0 if ok else 1
 
