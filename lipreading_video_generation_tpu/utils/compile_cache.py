@@ -18,7 +18,9 @@ from __future__ import annotations
 
 import atexit
 import glob
+import hashlib
 import os
+import platform
 
 
 def pid_alive(pid: int) -> bool:
@@ -116,6 +118,27 @@ def heal_cache_dir(cache_dir: str) -> None:
             pass
 
 
+def machine_tag() -> str:
+    """A short fingerprint of the host's ISA feature set. XLA:CPU caches
+    AOT-compiled executables specialized to the compiling machine's CPU
+    features; loading them on a host with a different feature set logs
+    "Machine type used for XLA:CPU compilation doesn't match" and can
+    SIGILL. Sessions for this repo migrate across hosts, so the cache dir
+    is keyed per-machine: a mismatched host recompiles instead of loading
+    another machine's AOT blobs."""
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    return "m" + hashlib.sha1(
+        f"{platform.machine()}|{feats}".encode()).hexdigest()[:10]
+
+
 def enable_persistent_cache(
     cache_dir: str,
     min_compile_secs: float = 0.5,
@@ -123,9 +146,18 @@ def enable_persistent_cache(
 ) -> str:
     """Heal ``cache_dir``, mark this session live (marker auto-removed at
     clean exit), and point JAX's persistent compilation cache at it.
-    Returns the marker path."""
+    Returns the marker path.
+
+    When the session's primary platform is XLA:CPU (tests, the driver's
+    multi-chip dryrun), the effective directory is a per-machine
+    subdirectory (see ``machine_tag``) — CPU entries embed host-ISA AOT
+    code, TPU entries don't, so TPU caches stay shared across hosts and
+    keep the relay bench warm."""
     import jax
 
+    primary = (jax.config.jax_platforms or "").split(",")[0].strip().lower()
+    if primary == "cpu":
+        cache_dir = os.path.join(cache_dir, machine_tag())
     os.makedirs(cache_dir, exist_ok=True)
     heal_cache_dir(cache_dir)
     marker = os.path.join(cache_dir, f".session_running.{os.getpid()}")

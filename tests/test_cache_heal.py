@@ -108,6 +108,30 @@ def test_matching_start_time_is_live(tmp_path):
     assert os.path.exists(marker)
 
 
+def test_cpu_platform_cache_is_machine_keyed(tmp_path):
+    """On an XLA:CPU session (this suite) the cache lands in a per-machine
+    subdirectory: CPU cache entries embed host-ISA AOT code, and loading
+    them on a host with a different feature set can SIGILL."""
+    import jax
+
+    from lipreading_video_generation_tpu.utils import compile_cache as cc
+
+    assert (jax.config.jax_platforms or "").split(",")[0] == "cpu"
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_secs = jax.config.jax_persistent_cache_min_compile_time_secs
+    prev_bytes = jax.config.jax_persistent_cache_min_entry_size_bytes
+    try:
+        marker = cc.enable_persistent_cache(str(tmp_path / "c"))
+        assert os.path.dirname(marker) == os.path.join(
+            str(tmp_path), "c", cc.machine_tag())
+        # the tag is a stable fingerprint, not a per-call nonce
+        assert cc.machine_tag() == cc.machine_tag()
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_secs)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", prev_bytes)
+
+
 def test_heartbeat_preserves_completed_entries(tmp_path):
     """A killed session with heartbeats (touch_marker after each test) only
     loses entries from the final heartbeat window — entries completed
