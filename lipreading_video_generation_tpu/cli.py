@@ -18,6 +18,7 @@ Usage examples:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import sys
 from typing import List
 
@@ -285,6 +286,10 @@ def main(argv: List[str] | None = None) -> int:
                    help="ported s3fd.pth params (port-s3fd --out); without "
                         "it the face detector is random-init and the "
                         "pipeline falls back to whole-frame boxes")
+    p.add_argument("--int8", action="store_true",
+                   help="dynamic-int8 generator matmuls (halves matmul HBM "
+                        "bytes; no measured MXU speedup on v5e — see "
+                        "ops/quant.py; quality bound in tests)")
 
     args = parser.parse_args(argv)
     try:
@@ -769,8 +774,10 @@ def main(argv: List[str] | None = None) -> int:
         from .parallel.mesh import build_mesh
 
         s3fd_params = s3fd_params_or_init(args.s3fd_checkpoint)
+        gan_cfg = (dataclasses.replace(cfg.gan, serve_int8=True)
+                   if args.int8 else cfg.gan)
         res = lipsync_video(gen_params, s3fd_params, args.face, args.audio, args.out,
-                            cfg.gan, cfg.audio, cfg.preprocess, static_frame=args.static,
+                            gan_cfg, cfg.audio, cfg.preprocess, static_frame=args.static,
                             model_width=cfg.gan.model_width,
                             pads=tuple(args.pads), resize_factor=args.resize_factor,
                             crop=tuple(args.crop), rotate=args.rotate,

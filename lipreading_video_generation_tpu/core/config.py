@@ -85,6 +85,12 @@ class GanConfig:
     num_epochs: int = 10**6     # train until stopped, like the reference
     dtype: str = "bfloat16"
     model_width: float = 1.0    # channel multiplier (1.0 = reference plan)
+    # Serving-only dynamic int8 (ops/quant.py): generator Conv/Dense matmuls
+    # run int8×int8→int32 on the MXU. Halves matmul operand HBM bytes; on
+    # this v5e stack int8 measured ≈ bf16 MXU rate (no 2× — ops/quant.py
+    # docstring), so this is a memory lever, not a speed claim. Training is
+    # untouched; quality bound pinned in tests/test_quant.py.
+    serve_int8: bool = False
 
 
 @dataclass(frozen=True)
@@ -163,6 +169,13 @@ class ViViTConfig:
     # flash attention otherwise.
     sequence_parallel: bool = False
     sequence_axis: str = "model"
+    # Pipeline parallelism (parallel/pipeline.py): stage the encoder blocks
+    # over the ``model`` mesh axis (contiguous layer chunks per stage),
+    # microbatches streaming via ppermute. Mutually exclusive with
+    # sequence_parallel (both claim the model axis). num_layers must divide
+    # by the model-axis size; pp_num_micro=0 → one microbatch per stage.
+    pipeline_parallel: bool = False
+    pp_num_micro: int = 0
 
 
 @dataclass(frozen=True)

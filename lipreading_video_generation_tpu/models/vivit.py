@@ -73,6 +73,59 @@ class ViViT(nn.Module):
         return nn.Dense(c.num_classes, dtype=jnp.float32, name="head")(x)
 
 
+def pp_params(params: dict, cfg: ViViTConfig) -> dict:
+    """Canonical ViViT params → pipeline layout: the ``block_i`` subtrees
+    stack into one ``blocks`` tree (leading layer axis) that
+    ``apply_pipelined`` stages over the mesh's model axis."""
+    from ..parallel.pipeline import stack_blocks
+
+    return stack_blocks(params, cfg.num_layers)
+
+
+def pp_params_to_canonical(params: dict, cfg: ViViTConfig) -> dict:
+    """Inverse of ``pp_params`` — checkpoints written by the pp trainer stay
+    interchangeable with the plain data/tensor-parallel trainer."""
+    from ..parallel.pipeline import unstack_blocks
+
+    return unstack_blocks(params, cfg.num_layers)
+
+
+def apply_pipelined(
+    cfg: ViViTConfig,
+    params: dict,
+    clips: jax.Array,
+    spec,
+    n_micro=None,
+) -> jax.Array:
+    """``ViViT.__call__`` with the encoder blocks pipeline-parallel over the
+    mesh's model axis (parallel/pipeline.py): stage s holds layers
+    ``[s·L/S, (s+1)·L/S)`` only; microbatches stream through via
+    ``ppermute``. Embedding and head are cheap and run replicated over the
+    model axis (batch still sharded over ``data``).
+
+    ``params`` is the ``pp_params`` layout. Numerically identical to
+    ``ViViT().apply`` at deterministic=True (tests/test_pipeline.py pins
+    logits and train-step grads); dropout is not supported under pp — the
+    default config trains with dropout 0.0 anyway.
+    """
+    from ..parallel.pipeline import pipeline_blocks
+
+    if cfg.sequence_parallel:
+        raise ValueError("pipeline parallelism and sequence_parallel both "
+                         "claim the model axis — enable one")
+    dtype = jnp.dtype(cfg.dtype)
+    x = TubeletEmbed(cfg.hidden_size, cfg.tubelet_size, dtype=dtype).apply(
+        {"params": params["TubeletEmbed_0"]}, clips.astype(dtype))
+    x = x + params["pos_embedding"].astype(dtype)
+    block = TransformerBlock(cfg.num_heads, cfg.mlp_dim, cfg.dropout, dtype=dtype)
+    block_apply = lambda p, h: block.apply({"params": p}, h, True)  # noqa: E731
+    x = pipeline_blocks(block_apply, params["blocks"], x, spec, n_micro=n_micro)
+    x = nn.LayerNorm(dtype=dtype).apply({"params": params["LayerNorm_0"]}, x)
+    x = x.mean(axis=1)
+    return nn.Dense(cfg.num_classes, dtype=jnp.float32).apply(
+        {"params": params["head"]}, x)
+
+
 class FeatureTransformer(nn.Module):
     """Classifier over precomputed per-frame CNN features.
 

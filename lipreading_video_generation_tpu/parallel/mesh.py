@@ -186,6 +186,13 @@ def activation_constraint(x, *parts):
     ]
     if any(ax not in names for ax in axes):
         return x
+    # Inside a shard_map body the mesh axes are manual — a sharding
+    # constraint over them is both illegal and meaningless (the collective
+    # layout is already explicit). E.g. the pipeline-parallel executor
+    # (parallel/pipeline.py) runs TransformerBlock under shard_map.
+    manual = set(getattr(mesh_lib.get_abstract_mesh(), "manual_axes", ()) or ())
+    if any(ax in manual for ax in axes):
+        return x
     if all(names[ax] == 1 for ax in axes):
         return x
     return jax.lax.with_sharding_constraint(x, P(*parts))

@@ -171,6 +171,7 @@ def lipsync_batch(
     boxes: jax.Array,            # (B, 4) y1y2x1x2 face boxes
     mels: jax.Array,             # (B, 80, 16) aligned mel chunks
     img: int,                    # generator face size (gan_cfg.img_size)
+    int8: bool = False,          # dynamic-int8 generator matmuls (ops/quant.py)
 ) -> jax.Array:
     """One generation batch as a single device program: crop faces →
     mask/concat-reference input prep → generator → paste back into the
@@ -185,7 +186,13 @@ def lipsync_batch(
     faces = crops / 255.0
     masked = image_ops.mask_lower_half(faces)
     x = image_ops.concat_reference(masked, faces)  # ref = current frame (inference.py:123-156)
-    g = gen.apply({"params": params}, mels[..., None], x)
+    if int8:
+        from ..ops.quant import int8_serving
+
+        with int8_serving():
+            g = gen.apply({"params": params}, mels[..., None], x)
+    else:
+        g = gen.apply({"params": params}, mels[..., None], x)
     out = jax.vmap(paste_back)(frames_f, g * 255.0, boxes)
     return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
 
@@ -224,7 +231,8 @@ def generate_frames(
     img = gan_cfg.img_size
 
     def gen_batch(params, frames_u8, boxes_b, mels):
-        return lipsync_batch(gen, params, frames_u8, boxes_b, mels, img)
+        return lipsync_batch(gen, params, frames_u8, boxes_b, mels, img,
+                             int8=gan_cfg.serve_int8)
 
     # one device program for the whole video: pad to a batch multiple and
     # lax.map over step-stacked batches — a single dispatch + single host

@@ -56,6 +56,62 @@ def create_state(
     )
 
 
+def create_state_pp(
+    cfg: ViViTConfig, rng_key: jax.Array, steps_per_epoch: int = 100
+) -> TrainState:
+    """``create_state`` in the pipeline-parallel layout: encoder block
+    params stacked along a leading layer axis (``models.vivit.pp_params``)
+    so stages shard over the model axis. Convert to/from the canonical
+    layout with ``pp_params_to_canonical`` for checkpoint interchange."""
+    from ..models.vivit import pp_params
+
+    model = ViViT(cfg)
+    dummy = jnp.zeros((1, cfg.num_frames, cfg.image_size, cfg.image_size, cfg.num_channels))
+    params = pp_params(dict(model.init(rng_key, dummy)["params"]), cfg)
+    return TrainState.create(
+        apply_fn=model.apply, params=params, tx=make_optimizer(cfg, steps_per_epoch)
+    )
+
+
+def make_pp_train_step(cfg: ViViTConfig, spec: MeshSpec, n_micro=None):
+    """Jitted pp train step: forward/backward through the pipelined encoder
+    (``apply_pipelined``); the backward is the reverse pipeline jax AD
+    derives from the forward's scan + ppermute."""
+    from ..models.vivit import apply_pipelined
+
+    n_micro = n_micro or (cfg.pp_num_micro or None)
+
+    def _impl(state, batch, dropout_key):
+        clips = preprocess_clips(batch["clips"])
+        labels = batch["labels"]
+
+        def loss_fn(params):
+            logits = apply_pipelined(cfg, params, clips, spec, n_micro=n_micro)
+            return losses.softmax_xent(logits, labels), logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        return new_state, {"loss": loss, "accuracy": losses.accuracy(logits, labels)}
+
+    step = functools.partial(jax.jit, donate_argnums=(0,))(_impl)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def scan(state, batches, dropout_key):
+        return jax.lax.scan(lambda s, b: _impl(s, b, dropout_key), state, batches)
+
+    @jax.jit
+    def evals(state, batch):
+        logits = apply_pipelined(
+            cfg, state.params, preprocess_clips(batch["clips"]), spec, n_micro=n_micro)
+        return {
+            "loss": losses.softmax_xent(logits, batch["labels"]),
+            "accuracy": losses.accuracy(logits, batch["labels"]),
+            "count": jnp.asarray(batch["labels"].shape[0], jnp.float32),
+        }
+
+    return step, scan, evals
+
+
 def preprocess_clips(clips_uint8: jax.Array) -> jax.Array:
     """On-device uint8 (B, T, H, W, C) → normalized float32 in [0,1] —
     fused into the jitted step instead of a host pass."""
@@ -118,8 +174,23 @@ def predict_step(state: TrainState, clips_uint8: jax.Array) -> jax.Array:
     return jax.nn.log_softmax(logits, axis=-1)
 
 
+@jax.jit
+def predict_step_int8(state: TrainState, clips_uint8: jax.Array) -> jax.Array:
+    """``predict_step`` with the classifier's Dense matmuls in dynamic int8
+    (ops/quant.py): half the matmul HBM bytes (no measured MXU speedup on
+    this v5e stack — see ops/quant.py). Top-1 agreement with the bf16 path
+    is pinned in tests/test_quant.py."""
+    from ..ops.quant import int8_serving
+
+    with int8_serving():
+        logits = state.apply_fn(
+            {"params": state.params}, preprocess_clips(clips_uint8))
+    return jax.nn.log_softmax(logits, axis=-1)
+
+
 def predict_sharded(
-    state: TrainState, clips_uint8, mesh_spec: Optional[MeshSpec] = None
+    state: TrainState, clips_uint8, mesh_spec: Optional[MeshSpec] = None,
+    int8: bool = False,
 ) -> jax.Array:
     """``predict_step`` data-parallel over the mesh — the serving analog of
     the trainers' mesh wiring: the clip batch shards over the ``data`` axis,
@@ -141,14 +212,17 @@ def predict_sharded(
     with spec.mesh:
         state = state.replace(params=shard_params(spec, state.params))
         clips = shard_batch(spec, clips_np)
-        out = predict_step(state, clips)
+        out = (predict_step_int8 if int8 else predict_step)(state, clips)
     return out[:n]
 
 
-def evaluate(state: TrainState, batches: Iterable[Dict[str, np.ndarray]]) -> Dict[str, float]:
+def evaluate(
+    state: TrainState, batches: Iterable[Dict[str, np.ndarray]], eval_fn=None
+) -> Dict[str, float]:
+    eval_fn = eval_fn or eval_step
     total = {"loss": 0.0, "accuracy": 0.0, "count": 0.0}
     for batch in batches:
-        m = jax.device_get(eval_step(state, batch))
+        m = jax.device_get(eval_fn(state, batch))
         n = float(m["count"])
         total["loss"] += float(m["loss"]) * n
         total["accuracy"] += float(m["accuracy"]) * n
@@ -177,22 +251,31 @@ def train(
     """
     from ..data.loader import host_prefetch, iterator_feed, stack_batches
     from ..parallel.mesh import shard_state, shard_stacked_batch
+    from ..parallel.pipeline import shard_pp_state
 
     spec = mesh_spec or build_mesh(cfg.mesh)
     key = prng.make_root_key(cfg.seed)
-    state = create_state(cfg.vivit, key)
+    pp = cfg.vivit.pipeline_parallel
+    if pp:
+        state = create_state_pp(cfg.vivit, key)
+        step_fn, scan_fn, eval_fn = make_pp_train_step(cfg.vivit, spec)
+        place_state = functools.partial(shard_pp_state, spec)
+    else:
+        state = create_state(cfg.vivit, key)
+        step_fn, scan_fn, eval_fn = train_step, train_scan, eval_step
+        place_state = functools.partial(shard_state, spec)
     best = {"accuracy": -1.0}
     best_params = state.params
     epochs = num_epochs if num_epochs is not None else cfg.vivit.num_epochs
 
     def dispatch(state, chunk):
         if len(chunk) == 1:
-            state, m = train_step(state, shard_batch(spec, chunk[0]), key)
+            state, m = step_fn(state, shard_batch(spec, chunk[0]), key)
             if metrics_writer is not None:
                 metrics_writer.write(int(state.step), m)
         else:
             batches = shard_stacked_batch(spec, stack_batches(chunk))
-            state, ms = train_scan(state, batches, key)
+            state, ms = scan_fn(state, batches, key)
             if metrics_writer is not None:
                 ms = {k: np.asarray(v) for k, v in ms.items()}
                 for i in range(len(chunk)):
@@ -203,8 +286,9 @@ def train(
 
     with spec.mesh:
         # params/opt/EMA placed via the TP-aware policy (pure-DP
-        # meshes replicate; model axis >1 shards large kernels)
-        state = shard_state(spec, state)
+        # meshes replicate; model axis >1 shards large kernels); under
+        # pipeline parallelism the block stack shards stage-wise instead
+        state = place_state(state)
         for epoch in range(epochs):
             chunk = []
             for batch in host_prefetch(iterator_feed(iter(train_batches_fn()))):
@@ -220,7 +304,9 @@ def train(
             if chunk:
                 state = dispatch(state, chunk)
             if eval_batches_fn is not None:
-                stats = evaluate(state, map(lambda b: shard_batch(spec, b), eval_batches_fn()))
+                stats = evaluate(
+                    state, map(lambda b: shard_batch(spec, b), eval_batches_fn()),
+                    eval_fn=eval_fn)
                 if stats["accuracy"] > best["accuracy"]:
                     best = stats
                     # real copy — train_step donates its input state, so an

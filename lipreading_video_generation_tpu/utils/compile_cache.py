@@ -125,18 +125,27 @@ def machine_tag() -> str:
     "Machine type used for XLA:CPU compilation doesn't match" and can
     SIGILL. Sessions for this repo migrate across hosts, so the cache dir
     is keyed per-machine: a mismatched host recompiles instead of loading
-    another machine's AOT blobs."""
-    feats = ""
+    another machine's AOT blobs.
+
+    The key includes the CPU *model name*, not just the flag set: LLVM adds
+    microarchitecture tuning features keyed off the detected CPU model
+    (e.g. ``prefer-no-scatter``/``prefer-no-gather``) that never appear in
+    /proc/cpuinfo flags, so two hosts with identical flags can still emit
+    mismatched AOT entries."""
+    feats = model = ""
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
+                if not feats and line.startswith(("flags", "Features")):
                     feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                if not model and line.startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                if feats and model:
                     break
     except OSError:
         pass
     return "m" + hashlib.sha1(
-        f"{platform.machine()}|{feats}".encode()).hexdigest()[:10]
+        f"{platform.machine()}|{model}|{feats}".encode()).hexdigest()[:10]
 
 
 def enable_persistent_cache(

@@ -44,6 +44,8 @@ def main():
                     help="full-frame height width")
     ap.add_argument("--width", type=float, default=1.0, help="generator width")
     ap.add_argument("--reps", type=int, default=8, help="in-jit chained passes")
+    ap.add_argument("--int8", action="store_true",
+                    help="dynamic-int8 generator matmuls (ops/quant.py)")
     args = ap.parse_args()
 
     from lipreading_video_generation_tpu.core.config import GanConfig
@@ -70,7 +72,8 @@ def main():
     def serve_pass(frames_u8):
         # the production program itself (inference.lipsync_batch) — the
         # bench measures exactly what infer-lipsync serves
-        return lipsync_batch(gen, params, frames_u8, boxes, mels, img)
+        return lipsync_batch(gen, params, frames_u8, boxes, mels, img,
+                             int8=args.int8)
 
     @jax.jit
     def repeated(frames_u8):
@@ -101,7 +104,8 @@ def main():
     fps = b / per_pass
     mfu = mfu_report(per_pass_flops, per_pass)
     print(json.dumps({
-        "metric": "lipsync_serving_frames_per_sec_per_chip",
+        "metric": "lipsync_serving_frames_per_sec_per_chip"
+                  + ("_int8" if args.int8 else ""),
         "value": round(fps, 1),
         "unit": f"frames/sec @ {H}x{W} batch={b} width={args.width}",
         "x_realtime_25fps": round(fps / 25.0, 1),

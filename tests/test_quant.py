@@ -1,0 +1,134 @@
+"""Dynamic int8 serving quantization (ops/quant.py).
+
+The quantized path must be (a) exactly the documented int8 math, and
+(b) close enough to the float model that serving quality survives —
+pinned on the real generator with PSNR between quantized and float
+outputs.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from lipreading_video_generation_tpu.ops import quant
+
+
+def _ref_int8_conv(x, w, b, strides, pads):
+    """Independent numpy reference of the documented quantization math."""
+    ws = np.maximum(np.max(np.abs(w), axis=(0, 1, 2), keepdims=True), 1e-8) / 127.0
+    wq = np.clip(np.round(w / ws), -127, 127).astype(np.int64)
+    xs = max(np.max(np.abs(x)), 1e-8) / 127.0
+    xq = np.clip(np.round(x / xs), -127, 127).astype(np.int64)
+    xq = np.pad(xq, ((0, 0), pads[0], pads[1], (0, 0)))
+    B, H, W, _ = xq.shape
+    kh, kw, ci, co = w.shape
+    oh = (H - kh) // strides[0] + 1
+    ow = (W - kw) // strides[1] + 1
+    out = np.zeros((B, oh, ow, co), np.int64)
+    for i in range(oh):
+        for j in range(ow):
+            patch = xq[:, i * strides[0]:i * strides[0] + kh,
+                       j * strides[1]:j * strides[1] + kw]
+            out[:, i, j] = np.tensordot(patch, wq, axes=([1, 2, 3], [0, 1, 2]))
+    return out * (xs * ws.reshape(1, 1, 1, -1)) + b
+
+
+def test_int8_conv_matches_reference_math():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 8, 8, 5)).astype(np.float32)
+    w = rng.standard_normal((3, 3, 5, 7)).astype(np.float32)
+    b = rng.standard_normal((7,)).astype(np.float32)
+    got = quant.int8_conv(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), (2, 2), ((1, 1), (1, 1)))
+    want = _ref_int8_conv(x, w, b, (2, 2), ((1, 1), (1, 1)))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_int8_dense_close_to_float():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((4, 64)).astype(np.float32)
+    w = rng.standard_normal((64, 32)).astype(np.float32) * 0.1
+    b = rng.standard_normal((32,)).astype(np.float32) * 0.01
+    got = np.asarray(quant.int8_dense(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b)))
+    want = x @ w + b
+    # two roundings at 1/127 granularity on ~N(0,1) inputs
+    err = np.abs(got - want) / np.maximum(np.abs(want).max(), 1e-6)
+    assert err.max() < 0.05
+
+
+def test_quantized_apply_swaps_conv_and_dense():
+    """The interceptor reroutes Conv+Dense; output differs from float but
+    stays close (same random params, quantization error only)."""
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Conv(8, (3, 3), padding=((1, 1), (1, 1)))(x)
+            x = nn.relu(x)
+            x = x.mean(axis=(1, 2))
+            return nn.Dense(4)(x)
+
+    m = Tiny()
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((2, 8, 8, 3)),
+                    jnp.float32)
+    v = m.init(jax.random.key(0), x)
+    f = m.apply(v, x)
+    q = quant.quantized_apply(m, v, x)
+    assert not np.allclose(np.asarray(f), np.asarray(q))  # actually rerouted
+    np.testing.assert_allclose(np.asarray(q), np.asarray(f), rtol=0.1, atol=0.05)
+
+
+def test_quantized_generator_psnr():
+    """Full TalkingFaceGenerator: int8 serving output within 30 dB PSNR of
+    the float path (random init; GroupNorm absorbs per-channel scale error)."""
+    from lipreading_video_generation_tpu.models.generator import (
+        TalkingFaceGenerator,
+    )
+
+    gen = TalkingFaceGenerator(width=0.25)
+    rng = np.random.default_rng(3)
+    mel = jnp.asarray(rng.standard_normal((2, 80, 16, 1)), jnp.float32)
+    faces = jnp.asarray(rng.random((2, 96, 96, 6)), jnp.float32)
+    params = gen.init(jax.random.key(0), mel, faces)["params"]
+
+    f = np.asarray(gen.apply({"params": params}, mel, faces), np.float32)
+    q = np.asarray(
+        quant.quantized_apply(gen, {"params": params}, mel, faces), np.float32)
+    mse = float(np.mean((f - q) ** 2))
+    psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))  # outputs in [0, 1]
+    assert psnr > 30.0, f"int8 generator PSNR {psnr:.1f} dB"
+
+
+def test_predict_step_int8_agrees_with_bf16():
+    """ViViT int8 serving: log-probs track the bf16 path and top-1 agrees
+    on (nearly) every clip."""
+    from lipreading_video_generation_tpu.core.config import ViViTConfig
+    from lipreading_video_generation_tpu.pipelines import train_vivit
+
+    cfg = ViViTConfig(num_classes=8, hidden_size=32, num_layers=2,
+                      num_heads=2, mlp_dim=64, dtype="float32")
+    state = train_vivit.create_state(cfg, jax.random.key(0))
+    clips = np.random.default_rng(5).integers(
+        0, 256, (16, cfg.num_frames, cfg.image_size, cfg.image_size,
+                 cfg.num_channels), dtype=np.uint8)
+    f = np.asarray(train_vivit.predict_step(state, jnp.asarray(clips)))
+    q = np.asarray(train_vivit.predict_step_int8(state, jnp.asarray(clips)))
+    agree = float(np.mean(np.argmax(f, -1) == np.argmax(q, -1)))
+    assert agree >= 0.9, f"top-1 agreement {agree}"
+    assert float(np.max(np.abs(f - q))) < 0.25
+
+
+def test_int8_conv_jits_inside_larger_program():
+    """The quantized path must stay jittable and grad-free (serving only)."""
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 4)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 4, 4)), jnp.float32)
+
+    @jax.jit
+    def prog(x, w):
+        y = quant.int8_conv(x, w, None, (1, 1), "SAME")
+        return jnp.sum(y)
+
+    assert np.isfinite(float(prog(x, w)))
