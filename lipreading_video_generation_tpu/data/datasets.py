@@ -540,9 +540,9 @@ def mouth_aperture_proxy(frames01: np.ndarray, img: Optional[int] = None) -> np.
     darkness over the mouth region box. frames01: (..., H, W, 3) in [0, 1].
     Used by the expert-chain proof tests to check that generated mouths
     track audio energy."""
-    h = frames01.shape[-3]
+    h, w = frames01.shape[-3], frames01.shape[-2]
     y0, y1 = int(h * 0.58), int(h * 0.86)
-    x0, x1 = int(h * 0.28), int(h * 0.72)
+    x0, x1 = int(w * 0.28), int(w * 0.72)
     region = frames01[..., y0:y1, x0:x1, :]
     return 1.0 - region.mean(axis=(-1, -2, -3))
 

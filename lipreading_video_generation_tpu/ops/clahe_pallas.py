@@ -51,9 +51,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["clahe_pallas", "clahe_supported"]
 
-# per-program VMEM for the one-hot + blended-LUT intermediates must fit
-# comfortably under the ~16 MB budget; above this pixel count the caller
-# should use the XLA path (no current caller is close — 48×48 is 2304 px).
+# per-program VMEM for the one-hot + blended-LUT intermediates must fit;
+# above this pixel count the caller should use the XLA path. The boundary
+# is hardware-verified: 128×128 (= exactly 16384 px, the largest admitted
+# shape) compiles under Mosaic and matches the XLA path bit-exactly on a
+# real v5e (scripts/check_tpu_kernels.py covers it); product shapes are
+# far smaller (48×48 = 2304 px).
 _MAX_PIXELS = 16384
 
 

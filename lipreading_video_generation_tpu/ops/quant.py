@@ -111,23 +111,32 @@ def _int8_interceptor(next_fun, args, kwargs, context):
     if context.method_name != "__call__" or mod.is_initializing():
         return next_fun(*args, **kwargs)
     if type(mod) is nn.Conv:
-        # grouped/dilated/masked convs and exotic padding are never used by
-        # this repo's models; keep the fast path narrow, fall back otherwise.
+        # grouped/dilated/masked convs, 1-D/3-D convs, and exotic padding
+        # are not worth an int8 path here; keep the fast path narrow and
+        # fall back to the float op otherwise (int8_conv is NHWC/HWIO-only).
         pad = mod.padding
         pad_ok = (pad in ("SAME", "VALID")) or (
             not isinstance(pad, (str, int))
             and all(isinstance(p, (tuple, list)) and len(p) == 2 for p in pad))
-        if (getattr(mod, "feature_group_count", 1) == 1
+        params = mod.variables["params"]
+        kernel = params["kernel"]
+        strides = mod.strides
+        if strides is None:
+            strides = (1, 1)
+        elif isinstance(strides, int):
+            strides = (strides, strides)
+        else:
+            strides = tuple(int(s) for s in strides)
+        if (kernel.ndim == 4                 # 2-D conv only
+                and len(strides) == 2
+                and getattr(mod, "feature_group_count", 1) == 1
                 and not mod.mask
                 and pad_ok
                 and all(d == 1 for d in _tuple_or(mod.kernel_dilation, 1))
                 and all(d == 1 for d in _tuple_or(mod.input_dilation, 1))):
-            params = mod.variables["params"]
             x = args[0]
-            strides = mod.strides if isinstance(mod.strides, tuple) else (
-                (mod.strides,) * 2 if isinstance(mod.strides, int) else (1, 1))
             return int8_conv(
-                x, params["kernel"], params.get("bias"),
+                x, kernel, params.get("bias"),
                 strides, pad if isinstance(pad, str) else tuple(
                     (int(p[0]), int(p[1])) for p in pad),
                 out_dtype=mod.dtype or x.dtype)

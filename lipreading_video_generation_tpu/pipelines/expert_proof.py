@@ -38,11 +38,22 @@ def _window_batch(
     max_shift: int = 0,
 ) -> Dict[str, np.ndarray]:
     """Sample n (window, wav, start) triples leaving ``max_shift`` frames of
-    headroom on both sides of the window so a shifted mel stays in range."""
+    headroom on both sides of the window so a shifted mel stays in range.
+
+    Clips too short for that headroom (< t + 2·max_shift + 2 frames) are
+    skipped — real preprocessed datasets have ragged clip lengths, and a
+    short held-out clip must not kill the AUC eval mid-training-run."""
+    min_len = t + 2 * max_shift + 2
+    eligible = [c for c in clips if len(c.frames) >= min_len]
+    if not eligible:
+        raise ValueError(
+            f"no clip has the >= {min_len} frames needed for T={t} windows "
+            f"with {max_shift}-frame shift headroom "
+            f"(longest: {max(len(c.frames) for c in clips)})")
     windows, starts, wavs = [], [], []
-    max_wav = max(len(c.wav) for c in clips)
+    max_wav = max(len(c.wav) for c in eligible)
     for _ in range(n):
-        clip = clips[rng.integers(len(clips))]
+        clip = eligible[rng.integers(len(eligible))]
         lo, hi = max_shift + 1, len(clip.frames) - t - max_shift
         start = int(rng.integers(lo, hi))
         windows.append(clip.frames[start : start + t])

@@ -183,6 +183,23 @@ def train(
     the property the expert exists for."""
     key = jax.random.key(seed)
     state = create_state(cfg, key, lr=lr)
+    if eval_clips is not None and eval_every:
+        # the AUC eval needs shift headroom around each window; on real
+        # preprocessed data the held-out clips can be arbitrarily short —
+        # drop the ineligible ones up front instead of dying at first eval
+        shift = 6  # alignment_scores default
+        min_len = cfg.syncnet_T + 2 * shift + 2
+        usable = [c for c in eval_clips if len(c.frames) >= min_len]
+        if not usable:
+            import warnings
+
+            warnings.warn(
+                f"all {len(eval_clips)} held-out clips are shorter than the "
+                f"{min_len} frames the aligned-vs-shifted AUC eval needs — "
+                "skipping AUC reporting", stacklevel=2)
+            eval_clips = None
+        else:
+            eval_clips = usable
     for step in range(num_steps):
         batch = {k: jnp.asarray(v) for k, v in batch_fn().items()}
         state, m = train_step(state, batch, key, cfg, audio_cfg, objective)

@@ -65,6 +65,13 @@ def create_state_pp(
     layout with ``pp_params_to_canonical`` for checkpoint interchange."""
     from ..models.vivit import pp_params
 
+    if cfg.dropout > 0:
+        raise ValueError(
+            "dropout is not implemented under pipeline parallelism (the "
+            "pipelined block apply is deterministic; training would silently "
+            "skip regularization) — set vivit.dropout=0.0 or disable "
+            "pipeline_parallel")
+
     model = ViViT(cfg)
     dummy = jnp.zeros((1, cfg.num_frames, cfg.image_size, cfg.image_size, cfg.num_channels))
     params = pp_params(dict(model.init(rng_key, dummy)["params"]), cfg)
@@ -314,4 +321,17 @@ def train(
                     best_params = jax.tree_util.tree_map(jnp.array, state.params)
     if best["accuracy"] >= 0:
         state = state.replace(params=best_params)
+    if pp:
+        # hand back the canonical layout: every downstream consumer
+        # (predict_sharded, eval_step, checkpoints) goes through
+        # state.apply_fn, which expects block_i subtrees, not the pipeline
+        # 'blocks' stack. Optimizer moments are pp-layout-shaped and the
+        # returned state is terminal, so rebuild them fresh (step preserved).
+        from ..models.vivit import pp_params_to_canonical
+
+        canonical = pp_params_to_canonical(dict(state.params), cfg.vivit)
+        step = state.step
+        state = TrainState.create(
+            apply_fn=ViViT(cfg.vivit).apply, params=canonical, tx=state.tx
+        ).replace(step=step)
     return state, best

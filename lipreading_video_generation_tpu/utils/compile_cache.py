@@ -103,15 +103,23 @@ def heal_cache_dir(cache_dir: str) -> None:
             born = os.path.getmtime(marker)
         except OSError:
             continue
-        for root, _, files in os.walk(cache_dir):
-            for f in files:
-                p = os.path.join(root, f)
-                try:
-                    if not f.startswith(".session_running") and \
-                            os.path.getmtime(p) >= born - 1.0:
-                        os.remove(p)
-                except OSError:
-                    pass
+        # top-level files only: a marker guards the directory it sits in.
+        # Per-machine subdirectories are separate cache dirs with their own
+        # markers (healed when a session enters them) — recursing here would
+        # let a dead TPU-session marker in the parent delete entries a live
+        # CPU session is writing in its machine-tag subdir.
+        try:
+            names = os.listdir(cache_dir)
+        except OSError:
+            names = []
+        for f in names:
+            p = os.path.join(cache_dir, f)
+            try:
+                if not f.startswith(".session_running") and os.path.isfile(p) \
+                        and os.path.getmtime(p) >= born - 1.0:
+                    os.remove(p)
+            except OSError:
+                pass
         try:
             os.remove(marker)
         except OSError:
@@ -127,25 +135,31 @@ def machine_tag() -> str:
     is keyed per-machine: a mismatched host recompiles instead of loading
     another machine's AOT blobs.
 
-    The key includes the CPU *model name*, not just the flag set: LLVM adds
-    microarchitecture tuning features keyed off the detected CPU model
-    (e.g. ``prefer-no-scatter``/``prefer-no-gather``) that never appear in
-    /proc/cpuinfo flags, so two hosts with identical flags can still emit
-    mismatched AOT entries."""
-    feats = model = ""
+    The key includes the CPU identity fields (vendor/family/model/stepping/
+    microcode/model name), not just the flag set: LLVM adds
+    microarchitecture tuning features keyed off the detected CPUID identity
+    (e.g. ``prefer-no-scatter``/``prefer-no-gather``, set per-stepping for
+    GDS-affected parts) that never appear in /proc/cpuinfo flags, so two
+    hosts with identical flags — or even identical model-name strings — can
+    still emit mismatched AOT entries."""
+    fields = {k: "" for k in (
+        "flags", "Features", "model name", "vendor_id", "cpu family",
+        "model", "stepping", "microcode")}
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if not feats and line.startswith(("flags", "Features")):
-                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
-                if not model and line.startswith("model name"):
-                    model = line.split(":", 1)[1].strip()
-                if feats and model:
-                    break
+                if not line.strip():
+                    break  # first CPU block only — all cores match
+                k, _, v = line.partition(":")
+                k = k.strip()
+                if k in fields and not fields[k]:
+                    fields[k] = " ".join(sorted(v.split())) \
+                        if k in ("flags", "Features") else v.strip()
     except OSError:
         pass
+    ident = "|".join(fields[k] for k in sorted(fields))
     return "m" + hashlib.sha1(
-        f"{platform.machine()}|{model}|{feats}".encode()).hexdigest()[:10]
+        f"{platform.machine()}|{ident}".encode()).hexdigest()[:10]
 
 
 def enable_persistent_cache(
@@ -165,6 +179,11 @@ def enable_persistent_cache(
     import jax
 
     primary = (jax.config.jax_platforms or "").split(",")[0].strip().lower()
+    if not primary:
+        # autodetection (no JAX_PLATFORMS set): ask the resolved backend —
+        # a TPU-less host still runs XLA:CPU and must machine-key its
+        # entries, or it writes host-ISA AOT blobs into the shared dir
+        primary = jax.default_backend().lower()
     if primary == "cpu":
         cache_dir = os.path.join(cache_dir, machine_tag())
     os.makedirs(cache_dir, exist_ok=True)

@@ -87,15 +87,18 @@ def main() -> int:
     from lipreading_video_generation_tpu.ops.clahe_pallas import clahe_pallas
     from lipreading_video_generation_tpu.ops.image import clahe_xla
 
-    img = jnp.asarray(rng.integers(0, 256, (4, 48, 48)), jnp.uint8)
-    got = np.asarray(jax.jit(
-        lambda x: clahe_pallas(x, interpret=False))(img)).astype(np.int32)
-    want = np.asarray(clahe_xla(img)).astype(np.int32)
-    diff = int(np.abs(got - want).max())
-    clahe_ok = diff <= 2  # rounding-path differences only
-    print(f"{'PASS' if clahe_ok else 'FAIL'} clahe pallas-vs-xla: "
-          f"max abs diff {diff} gray levels")
-    ok &= clahe_ok
+    # 48x48 is the bench shape; 128x128 is exactly _MAX_PIXELS — the
+    # routing boundary clahe_supported admits must compile on hardware
+    for hw in (48, 128):
+        img = jnp.asarray(rng.integers(0, 256, (4, hw, hw)), jnp.uint8)
+        got = np.asarray(jax.jit(
+            lambda x: clahe_pallas(x, interpret=False))(img)).astype(np.int32)
+        want = np.asarray(clahe_xla(img)).astype(np.int32)
+        diff = int(np.abs(got - want).max())
+        clahe_ok = diff <= 2  # rounding-path differences only
+        print(f"{'PASS' if clahe_ok else 'FAIL'} clahe pallas-vs-xla @{hw}²: "
+              f"max abs diff {diff} gray levels")
+        ok &= clahe_ok
 
     print("ALL PASS" if ok else "FAILURES PRESENT")
     return 0 if ok else 1

@@ -153,3 +153,24 @@ def test_heartbeat_preserves_completed_entries(tmp_path):
     assert os.path.exists(os.path.join(cache, "early_entry"))
     assert not os.path.exists(os.path.join(cache, "truncated_entry"))
     assert not os.path.exists(marker)
+
+
+def test_heal_does_not_recurse_into_subdirectories(tmp_path):
+    """Per-machine subdirectories are independent cache dirs with their own
+    markers: healing a dead marker in the parent must not delete entries a
+    live session is writing in a subdir."""
+    from lipreading_video_generation_tpu.utils import compile_cache as cc
+
+    cache = str(tmp_path)
+    now = time.time()
+    marker = os.path.join(cache, ".session_running.4194305")  # dead session
+    _touch(marker, mtime=now - 60)
+    _touch(os.path.join(cache, "parent_suspect"), mtime=now - 30)
+    sub = os.path.join(cache, cc.machine_tag())
+    os.makedirs(sub)
+    _touch(os.path.join(sub, "live_subdir_entry"), mtime=now - 10)
+
+    cc.heal_cache_dir(cache)
+
+    assert not os.path.exists(os.path.join(cache, "parent_suspect"))
+    assert os.path.exists(os.path.join(sub, "live_subdir_entry"))

@@ -147,3 +147,40 @@ def test_gan_gate_opens_because_sync_improved(av_data, trained_expert):
 GATE_THRESHOLD = 0.5
 GAN_STEPS = 400
 APERTURE_R_MIN = 0.3
+
+
+def test_window_batch_skips_short_clips():
+    """Ragged real datasets: clips without shift headroom are skipped; an
+    all-short eval set raises a clear error instead of numpy's low>=high."""
+    import pytest
+
+    from lipreading_video_generation_tpu.data.datasets import GanClip
+    from lipreading_video_generation_tpu.pipelines.expert_proof import _window_batch
+
+    rng = np.random.default_rng(0)
+    long_clip = GanClip(
+        np.zeros((20, 8, 8, 3), np.uint8), np.zeros(16000, np.float32))
+    short_clip = GanClip(
+        np.zeros((8, 8, 8, 3), np.uint8), np.zeros(16000, np.float32))
+    batch = _window_batch([short_clip, long_clip], t=5, n=4, rng=rng, max_shift=1)
+    assert batch["window"].shape == (4, 5, 8, 8, 3)
+    # every sampled start leaves the shift headroom the long clip offers
+    assert (batch["start_frame"] >= 2).all()
+    assert (batch["start_frame"] <= 20 - 5 - 1).all()
+    with pytest.raises(ValueError, match="frames"):
+        _window_batch([short_clip], t=5, n=4, rng=rng, max_shift=6)
+
+
+def test_mouth_aperture_proxy_nonsquare_uses_width():
+    """The x-range of the mouth box comes from the frame WIDTH — on a wide
+    frame the box must sit centered, not clipped to the left h-pixels."""
+    from lipreading_video_generation_tpu.data.datasets import mouth_aperture_proxy
+
+    h, w = 32, 96
+    frames = np.ones((1, 2, h, w, 3), np.float32)
+    # darken only the region a width-derived box covers beyond the height-
+    # derived one: x in [0.28w, 0.72w) = [26, 69) vs height-derived [8, 23)
+    frames[..., int(h * 0.58):int(h * 0.86), 30:69, :] = 0.0
+    ap = mouth_aperture_proxy(frames)
+    assert ap.shape == (1, 2)
+    assert (ap > 0.5).all()  # the box overlaps the dark mouth region

@@ -171,5 +171,24 @@ def test_pp_train_loop_runs():
         steps_per_dispatch=2)
     assert int(state.step) == 4
     assert np.isfinite(best["loss"])
-    blocks_leaf = jax.tree_util.tree_leaves(state.params["blocks"])[0]
-    assert "model" in str(blocks_leaf.sharding.spec)
+    # train() hands back the CANONICAL layout: downstream consumers
+    # (predict/eval/checkpoints) go through state.apply_fn, which expects
+    # block_i subtrees — a pp-layout return would crash them all
+    assert "block_0" in state.params and "blocks" not in state.params
+    clips = rng.integers(
+        0, 256, (4, vcfg.num_frames, vcfg.image_size, vcfg.image_size,
+                 vcfg.num_channels), dtype=np.uint8)
+    logp = train_vivit.predict_step(state, jnp.asarray(clips))
+    assert np.isfinite(np.asarray(logp)).all()
+
+
+def test_pp_rejects_dropout():
+    """Dropout under pp would silently train unregularized (the pipelined
+    block apply is deterministic) — creating the pp state must refuse."""
+    from lipreading_video_generation_tpu.pipelines import train_vivit
+
+    cfg = ViViTConfig(
+        num_classes=8, hidden_size=32, num_layers=4, num_heads=2, mlp_dim=64,
+        dtype="float32", dropout=0.1, pipeline_parallel=True)
+    with pytest.raises(ValueError, match="dropout"):
+        train_vivit.create_state_pp(cfg, jax.random.key(0))

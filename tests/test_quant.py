@@ -132,3 +132,42 @@ def test_int8_conv_jits_inside_larger_program():
         return jnp.sum(y)
 
     assert np.isfinite(float(prog(x, w)))
+
+
+def test_interceptor_3d_conv_falls_back_to_float():
+    """int8_conv is NHWC/HWIO-only: a 3-D conv inside int8_serving must
+    route through the float op (not crash at trace time, not mis-stride)."""
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Conv(4, (3, 3, 3), strides=(1, 2, 2), padding="SAME")(x)
+
+    m = M()
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 4, 8, 8, 3)), jnp.float32)
+    params = m.init(jax.random.key(0), x)
+    want = m.apply(params, x)
+    with quant.int8_serving():
+        got = m.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_interceptor_list_strides_quantize_correctly():
+    """Sequence (list) strides must reach int8_conv as-is — an earlier guard
+    silently mapped them to (1, 1), computing a wrong-shape stride-1 conv."""
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Conv(4, (3, 3), strides=[2, 2], padding="SAME",
+                           use_bias=False)(x)
+
+    m = M()
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (1, 8, 8, 3)), jnp.float32)
+    params = m.init(jax.random.key(0), x)
+    want = np.asarray(m.apply(params, x))
+    with quant.int8_serving():
+        got = np.asarray(m.apply(params, x))
+    assert got.shape == want.shape == (1, 4, 4, 4)
+    err = np.abs(got - want) / np.maximum(np.abs(want).max(), 1e-6)
+    assert err.max() < 0.05
