@@ -258,12 +258,18 @@ def main(argv: List[str] | None = None) -> int:
     p.add_argument("--fps", type=float, default=25.0,
                    help="output fps when no --cond-video supplies one")
     p.add_argument("--ddim-steps", type=int, default=None,
-                   help="DDIM few-step sampling: number of model forwards "
+                   help="few-step sampling: number of model forwards "
                         "over a strided timestep subsequence (e.g. 50 "
                         "instead of the full num_timesteps DDPM chain)")
+    p.add_argument("--sampler", choices=("ddim", "dpmpp"), default="ddim",
+                   help="few-step update rule (with --ddim-steps): ddim "
+                        "(first-order) or dpmpp (DPM-Solver++(2M), "
+                        "second-order multistep — same per-step cost, "
+                        "~half the steps for equal ODE accuracy)")
     p.add_argument("--eta", type=float, default=0.0,
                    help="DDIM stochasticity: 0 deterministic (default), "
-                        "1 DDPM-matched ancestral variance")
+                        "1 DDPM-matched ancestral variance (dpmpp is "
+                        "always deterministic)")
     p.add_argument("--out", required=True)
 
     p = _base_parser(sub, "infer-lipsync", "lip-sync a video to an audio track")
@@ -714,6 +720,7 @@ def main(argv: List[str] | None = None) -> int:
                 state, jnp.asarray(cond_np), jnp.asarray(windows_np),
                 jax.random.key(cfg.seed), d,
                 num_inference_steps=args.ddim_steps, eta=args.eta,
+                sampler=args.sampler,
                 mesh_spec=build_mesh(cfg.mesh),   # frames shard over the chips
             ))
             if args.out.endswith((".mp4", ".avi")):
@@ -742,7 +749,8 @@ def main(argv: List[str] | None = None) -> int:
             audio = jnp.asarray(rng.standard_normal((1, d.audio_samples)).astype(np.float32))
         x0, snaps = sample_diffusion.sample(
             state, cond, audio, jax.random.key(cfg.seed), d,
-            num_inference_steps=args.ddim_steps, eta=args.eta)
+            num_inference_steps=args.ddim_steps, eta=args.eta,
+            sampler=args.sampler)
         import cv2
 
         img = np.asarray((x0[0] * 255)).astype(np.uint8)

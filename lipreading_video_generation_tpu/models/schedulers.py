@@ -98,6 +98,58 @@ class _BaseScheduler:
         x_prev = jnp.sqrt(acp_prev) * x0_est + dir_xt + sigma * z
         return x_prev, jnp.clip(x0_est, -1.0, 1.0)
 
+    def dpmpp_2m_prev(
+        self,
+        xt: jax.Array,
+        noise_pred: jax.Array,
+        t: jax.Array,
+        t_prev: jax.Array,
+        d_prev: jax.Array,
+        t_last: jax.Array,
+        use_2m: jax.Array,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """One DPM-Solver++(2M) update x_t → x_{t_prev} (Lu et al. 2022,
+        multistep second-order, data-prediction form) over an arbitrary
+        timestep subsequence — a second-order alternative to ``ddim_prev``
+        that halves the model evaluations needed for the same ODE accuracy
+        (the few-step serving mode; DDIM is the first-order special case).
+
+        ``d_prev``/``t_last`` carry the PREVIOUS step's x0 prediction and
+        eval timestep (the multistep history); ``use_2m`` masks the
+        second-order correction off on the first step (no history) and on
+        the final step to x0 (``lower_order_final`` — at ᾱ_prev = 1 the
+        log-SNR step h is infinite and the correction degenerates).
+        ``t_prev < 0`` means "fully denoised" exactly as in ``ddim_prev``.
+        Deterministic (probability-flow ODE; no noise injection). Returns
+        (x_prev, d) where d is this step's clamped x0 prediction — feed it
+        back as the next step's ``d_prev``."""
+        acp = jnp.asarray(self.alpha_cum_prod)
+        acp_t = _bcast(acp, t, xt.ndim)
+        acp_l = _bcast(acp, t_last, xt.ndim)
+        final = jnp.asarray(t_prev < 0)
+        final = final.reshape(final.shape + (1,) * (xt.ndim - final.ndim))
+        acp_p = jnp.where(final, 1.0, _bcast(acp, jnp.maximum(t_prev, 0), xt.ndim))
+        a_t, s_t = jnp.sqrt(acp_t), jnp.sqrt(1.0 - acp_t)
+        a_p, s_p = jnp.sqrt(acp_p), jnp.sqrt(1.0 - acp_p)
+        # λ = log(α/σ); at ᾱ_prev = 1 this is +inf, and the first-order
+        # update below degenerates gracefully: σ ratio 0, expm1(−inf) = −1,
+        # so x_prev = D exactly (the model's x0 prediction)
+        lam_t = 0.5 * (jnp.log(acp_t) - jnp.log1p(-acp_t))
+        lam_l = 0.5 * (jnp.log(acp_l) - jnp.log1p(-acp_l))
+        lam_p = jnp.where(
+            final, jnp.inf, 0.5 * (jnp.log(acp_p) - jnp.log1p(-acp_p)))
+        h = lam_p - lam_t
+        d = jnp.clip((xt - s_t * noise_pred) / a_t, -1.0, 1.0)
+        # second-order correction from the multistep history (masked lanes
+        # may evaluate to inf/nan — jnp.where selects, never mixes)
+        r = (lam_t - lam_l) / h
+        d2 = (1.0 + 0.5 / r) * d - (0.5 / r) * d_prev
+        use = jnp.asarray(use_2m)
+        use = use.reshape(use.shape + (1,) * (xt.ndim - use.ndim))
+        du = jnp.where(use, d2, d)
+        x_prev = (s_p / s_t) * xt - a_p * jnp.expm1(-h) * du
+        return x_prev, d
+
 
 def _compvis_betas(num_timesteps: int, beta_start: float, beta_end: float) -> np.ndarray:
     return np.linspace(beta_start**0.5, beta_end**0.5, num_timesteps, dtype=np.float64) ** 2

@@ -106,6 +106,41 @@ def _scan_segment_ddim(
     return jax.lax.scan(step, xt, (ts, ts_prev))
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "use_ema"))
+def _scan_segment_dpmpp(
+    state: DiffusionTrainState,
+    xt: jax.Array,
+    d_prev: jax.Array,      # previous step's x0 prediction (multistep history)
+    cond_map: jax.Array,
+    ts: jax.Array,          # (seg,) descending subsequence timesteps
+    ts_prev: jax.Array,     # (seg,) each step's target timestep (-1 = x0)
+    ts_last: jax.Array,     # (seg,) each step's PREVIOUS eval timestep
+    use_2m: jax.Array,      # (seg,) bool: apply the second-order correction
+    cfg: DiffusionConfig,
+    use_ema: bool = False,
+) -> Tuple[Tuple[jax.Array, jax.Array], jax.Array]:
+    """DPM-Solver++(2M) segment: second-order multistep ODE solver — same
+    per-step cost as DDIM (one model forward) at roughly half the steps for
+    equal accuracy. The (xt, d_prev) carry crosses segment boundaries so
+    chunking the trajectory doesn't reset the multistep history."""
+    scheduler = make_scheduler(cfg.scheduler, cfg.num_timesteps, cfg.beta_start, cfg.beta_end)
+    model = UNetAudio(cfg)
+    params = state.ema_params if use_ema else state.params
+    b = xt.shape[0]
+
+    def step(carry, x):
+        xt, d_prev = carry
+        t, t_prev, t_last, second = x
+        tb = jnp.full((b,), t, jnp.int32)
+        eps = model.apply({"params": params}, xt, cond_map, tb, method=UNetAudio.denoise)
+        xt_prev, d = scheduler.dpmpp_2m_prev(
+            xt, eps, tb, jnp.full((b,), t_prev, jnp.int32), d_prev,
+            jnp.full((b,), t_last, jnp.int32), second)
+        return (xt_prev, d), d
+
+    return jax.lax.scan(step, (xt, d_prev), (ts, ts_prev, ts_last, use_2m))
+
+
 def sample(
     state: DiffusionTrainState,
     cond_frame_uint8: jax.Array,   # (B, h, w, 3) uint8 condition frame
@@ -118,14 +153,19 @@ def sample(
     num_inference_steps: int | None = None,
     eta: float = 0.0,
     mesh_spec=None,
+    sampler: str = "ddim",
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (x0 (B, H, W, 3) in [0,1], snapshots (S, B, H, W, 3)).
     ``use_ema`` samples with the EMA shadow params (utils.py:92-102).
 
-    ``num_inference_steps`` < ``cfg.num_timesteps`` switches to DDIM over a
-    strided timestep subsequence — e.g. 50 model forwards instead of the
-    reference's 500 (test.py:57-64) for near-equal sample quality;
-    ``eta`` = 0 is deterministic DDIM, 1 matches DDPM ancestral variance.
+    ``num_inference_steps`` < ``cfg.num_timesteps`` switches to few-step
+    sampling over a strided timestep subsequence — e.g. 50 model forwards
+    instead of the reference's 500 (test.py:57-64) for near-equal sample
+    quality; ``eta`` = 0 is deterministic DDIM, 1 matches DDPM ancestral
+    variance. ``sampler`` picks the few-step update rule: "ddim"
+    (first-order) or "dpmpp" (DPM-Solver++(2M), second-order multistep —
+    same per-step cost, roughly half the steps for equal ODE accuracy;
+    always deterministic, ``eta`` ignored).
 
     ``mesh_spec`` runs the whole trajectory data-parallel over the mesh —
     the serving analog of the trainers' mesh wiring: the batch axis (the
@@ -138,6 +178,8 @@ def sample(
     if num_inference_steps is not None and num_inference_steps < 1:
         raise ValueError(
             f"num_inference_steps must be >= 1, got {num_inference_steps}")
+    if sampler not in ("ddim", "dpmpp"):
+        raise ValueError(f"unknown sampler {sampler!r} (ddim | dpmpp)")
     mesh_ctx = contextlib.nullcontext()
     b = cond_frame_uint8.shape[0]
     n_pad = 0
@@ -158,12 +200,14 @@ def sample(
                 [audio_wave, jnp.repeat(audio_wave[-1:], n_pad, axis=0)])
         mesh_ctx = mesh_spec.mesh
         state = shard_state(mesh_spec, state)
-        cond_frame_uint8 = shard_batch(mesh_spec, np.asarray(cond_frame_uint8))
-        audio_wave = shard_batch(mesh_spec, np.asarray(audio_wave))
+        # device_put reshards device-resident arrays directly — no host hop
+        cond_frame_uint8 = shard_batch(mesh_spec, cond_frame_uint8)
+        audio_wave = shard_batch(mesh_spec, audio_wave)
     with mesh_ctx:
         x0, snaps = _sample_impl(
             state, cond_frame_uint8, audio_wave, key, cfg, snapshot_every,
             use_ema, segment_size, num_inference_steps, eta, mesh_spec,
+            sampler,
         )
     if n_pad:
         x0, snaps = x0[:b], snaps[:, :b]
@@ -184,6 +228,7 @@ def ddim_timesteps(num_timesteps: int, num_inference_steps: int) -> np.ndarray:
 def _sample_impl(
     state, cond_frame_uint8, audio_wave, key, cfg, snapshot_every,
     use_ema, segment_size, num_inference_steps, eta, mesh_spec=None,
+    sampler="ddim",
 ) -> Tuple[jax.Array, jax.Array]:
     cond_map = encode_condition(state, cond_frame_uint8, audio_wave, cfg, use_ema)
     b = cond_frame_uint8.shape[0]
@@ -194,20 +239,33 @@ def _sample_impl(
 
         xt = jax.device_put(xt, batch_sharding(mesh_spec, xt.ndim))
 
-    ddim = (num_inference_steps is not None
-            and num_inference_steps < cfg.num_timesteps)
-    if ddim:
+    few_step = (num_inference_steps is not None
+                and num_inference_steps < cfg.num_timesteps)
+    dpmpp = few_step and sampler == "dpmpp"
+    if few_step:
         ts_all = ddim_timesteps(cfg.num_timesteps, num_inference_steps)
         ts_prev_all = np.concatenate([ts_all[1:], [-1]])
+        # multistep history: each step's previous EVAL timestep; the
+        # second-order correction is off on the first step (no history)
+        # and the final step to x0 (lower_order_final: h is infinite there)
+        ts_last_all = np.concatenate([ts_all[:1], ts_all[:-1]])
+        use_2m_all = (np.arange(len(ts_all)) > 0) & (ts_prev_all >= 0)
     else:
         ts_all = np.arange(cfg.num_timesteps - 1, -1, -1)
     seg = max(1, min(segment_size, len(ts_all)))
     # full-size segments share one compiled program; a trailing remainder
     # segment (different static length) compiles once more at most.
     snaps = []
+    d_prev = jnp.zeros_like(xt)
     for i in range(0, len(ts_all), seg):
         chunk = jnp.asarray(ts_all[i : i + seg])
-        if ddim:
+        if dpmpp:
+            (xt, d_prev), x0_traj = _scan_segment_dpmpp(
+                state, xt, d_prev, cond_map, chunk,
+                jnp.asarray(ts_prev_all[i : i + seg]),
+                jnp.asarray(ts_last_all[i : i + seg]),
+                jnp.asarray(use_2m_all[i : i + seg]), cfg, use_ema)
+        elif few_step:
             prev_chunk = jnp.asarray(ts_prev_all[i : i + seg])
             xt, x0_traj = _scan_segment_ddim(
                 state, xt, cond_map, chunk, prev_chunk, kloop, cfg, eta, use_ema)
@@ -231,6 +289,7 @@ def sample_video(
     num_inference_steps: int | None = None,
     eta: float = 0.0,
     mesh_spec=None,
+    sampler: str = "ddim",
 ) -> jax.Array:
     """Generate a T-frame clip: (T, im_size, im_size, 3) uint8.
 
@@ -250,5 +309,6 @@ def sample_video(
         snapshot_every=cfg.num_timesteps + 1,   # no snapshots needed
         use_ema=use_ema, segment_size=segment_size,
         num_inference_steps=num_inference_steps, eta=eta, mesh_spec=mesh_spec,
+        sampler=sampler,
     )
     return image_ops.denormalize_to_uint8(x0)  # x0 already in [0,1]

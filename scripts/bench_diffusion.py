@@ -29,6 +29,8 @@ def main():
                     help="DDIM few-step sampling: N model forwards instead "
                          "of the full T-step DDPM chain; reports seconds "
                          "per image alongside steps/sec")
+    ap.add_argument("--sampler", choices=("ddim", "dpmpp"), default="ddim",
+                    help="few-step update rule (with --ddim-steps)")
     args = ap.parse_args()
 
     from lipreading_video_generation_tpu.core.config import DiffusionConfig
@@ -52,7 +54,8 @@ def main():
     audio = jnp.asarray(rng.standard_normal((args.batch, cfg.audio_samples)).astype(np.float32))
 
     n_steps = args.ddim_steps or cfg.num_timesteps
-    kw = dict(num_inference_steps=args.ddim_steps) if args.ddim_steps else {}
+    kw = (dict(num_inference_steps=args.ddim_steps, sampler=args.sampler)
+          if args.ddim_steps else {})
 
     # compile + warm
     x0, _ = sample_diffusion.sample(state, cond, audio, key, cfg, **kw)
@@ -80,7 +83,8 @@ def main():
         "metric": "diffusion_denoise_steps_per_sec",
         "value": round(steps_per_sec, 2),
         "unit": f"steps/sec @ {cfg.im_size}x{cfg.im_size} batch={args.batch}"
-                + (f" ddim={args.ddim_steps}" if args.ddim_steps else ""),
+                + (f" {args.sampler}={args.ddim_steps}"
+                   if args.ddim_steps else ""),
         "total_s": round(total, 3),
         "sec_per_image": round(total / args.batch, 3),
         **mfu_report(step_flops, 1.0 / steps_per_sec),

@@ -590,3 +590,32 @@ def test_sample_rejects_nonpositive_inference_steps():
             None, np.zeros((1, 16, 16, 3), np.uint8), np.zeros((1, 800)),
             jax.random.key(0), DiffusionConfig(im_size=16, num_timesteps=10),
             num_inference_steps=0)
+
+
+def test_sampler_dpmpp_few_step():
+    """DPM-Solver++(2M) through the production sample() path: valid [0,1]
+    output, deterministic, distinct from DDIM, and — the carry contract —
+    segmenting the trajectory must not reset the multistep history
+    (segment_size 3 == segment_size 5 bit-for-bit)."""
+    state = train_diffusion.create_state(TINY_DIFF, KEY)
+    b = _diff_batch()
+    x_a, snaps = sample_diffusion.sample(
+        state, b["cond_frame"], b["audio"], KEY, TINY_DIFF,
+        snapshot_every=1, segment_size=3, num_inference_steps=5,
+        sampler="dpmpp")
+    assert snaps.shape[0] == 5
+    xn = np.asarray(x_a)
+    assert xn.min() >= 0 and xn.max() <= 1 and np.isfinite(xn).all()
+    x_b, _ = sample_diffusion.sample(
+        state, b["cond_frame"], b["audio"], KEY, TINY_DIFF,
+        snapshot_every=1, segment_size=5, num_inference_steps=5,
+        sampler="dpmpp")
+    np.testing.assert_allclose(xn, np.asarray(x_b), atol=1e-6)
+    x_ddim, _ = sample_diffusion.sample(
+        state, b["cond_frame"], b["audio"], KEY, TINY_DIFF,
+        snapshot_every=1, segment_size=3, num_inference_steps=5)
+    assert not np.allclose(xn, np.asarray(x_ddim))
+    with pytest.raises(ValueError, match="sampler"):
+        sample_diffusion.sample(
+            state, b["cond_frame"], b["audio"], KEY, TINY_DIFF,
+            num_inference_steps=5, sampler="heun")

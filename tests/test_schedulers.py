@@ -169,3 +169,99 @@ def test_ddim_eta0_key_independent():
     a, _ = s.ddim_prev(xt, eps, t, t - 4, jax.random.key(0), eta=0.0)
     b, _ = s.ddim_prev(xt, eps, t, t - 4, jax.random.key(99), eta=0.0)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# --- DPM-Solver++(2M) (dpmpp_2m_prev: second-order few-step sampling) ------
+
+def test_dpmpp_first_order_step_equals_ddim():
+    """With the second-order correction masked off, DPM-Solver++ IS
+    deterministic DDIM (the exponential-integrator identity
+    α_p e^{-h} = α_t σ_p / σ_t makes them algebraically equal)."""
+    s = LinearScheduler.create(100, 0.00085, 0.012)
+    rng = np.random.default_rng(0)
+    xt = jnp.asarray(rng.standard_normal((2, 4, 4, 1)).astype(np.float32) * 0.3)
+    eps = jnp.asarray(rng.standard_normal((2, 4, 4, 1)).astype(np.float32) * 0.3)
+    t = jnp.full((2,), 60, jnp.int32)
+    tp = jnp.full((2,), 35, jnp.int32)
+    want, _ = s.ddim_prev(xt, eps, t, tp, jax.random.key(0), eta=0.0)
+    got, d = s.dpmpp_2m_prev(
+        xt, eps, t, tp, jnp.zeros_like(xt), t, jnp.zeros((2,), bool))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+    # returned history is the clamped x0 prediction
+    sa = np.sqrt(s.alpha_cum_prod[60])
+    so = np.sqrt(1 - s.alpha_cum_prod[60])
+    np.testing.assert_allclose(
+        np.asarray(d), np.clip(np.asarray((xt - so * eps) / sa), -1, 1),
+        rtol=1e-5)
+
+
+def test_dpmpp_final_step_returns_x0_estimate():
+    """t_prev = -1 (ᾱ_prev = 1): σ ratio 0 and expm1(-∞) = -1 make the
+    update return the x0 prediction exactly — no inf/nan leakage."""
+    s = LinearScheduler.create(50, 0.001, 0.02)
+    rng = np.random.default_rng(1)
+    xt = jnp.asarray(rng.standard_normal((1, 4, 4, 1)).astype(np.float32) * 0.5)
+    eps = jnp.asarray(rng.standard_normal((1, 4, 4, 1)).astype(np.float32) * 0.5)
+    t = jnp.full((1,), 3, jnp.int32)
+    out, d = s.dpmpp_2m_prev(
+        xt, eps, t, jnp.full((1,), -1, jnp.int32),
+        jnp.ones_like(xt) * 0.1, jnp.full((1,), 7, jnp.int32),
+        jnp.zeros((1,), bool))
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(d), rtol=1e-6)
+
+
+def _gaussian_oracle_eps(s, xt, t, mu, std):
+    """Exact noise-predictor of x0 ~ N(mu, std²I): for this distribution
+    x_t ~ N(√ᾱ·mu, ᾱ·std² + 1-ᾱ) and ε*(x,t) = σ_t·(x - √ᾱ·mu)/(ᾱ·std² + σ_t²)."""
+    acp = s.alpha_cum_prod[t]
+    sa, so = np.sqrt(acp), np.sqrt(1 - acp)
+    return so * (xt - sa * mu) / (acp * std**2 + (1 - acp))
+
+
+def test_dpmpp_converges_faster_than_ddim_on_analytic_ode():
+    """Second-order accuracy, measured: against the well-converged
+    probability-flow ODE solution (400-step DDIM) of an analytic Gaussian
+    score model, 10-step DPM-Solver++(2M) must land several times closer
+    than 10-step DDIM from the same x_T — the property that halves serving
+    model-forwards for equal quality."""
+    from lipreading_video_generation_tpu.pipelines.sample_diffusion import (
+        ddim_timesteps,
+    )
+
+    T = 400
+    s = LinearScheduler.create(T, 0.00085, 0.012)
+    mu, std = 0.3, 0.15
+    x_T = jax.random.normal(jax.random.key(5), (4, 8)).astype(jnp.float32)
+
+    def run_ddim(n_steps):
+        ts = ddim_timesteps(T, n_steps)
+        ts_prev = np.concatenate([ts[1:], [-1]])
+        xt = x_T
+        for t, tp in zip(ts, ts_prev):
+            tb = jnp.full((4,), int(t), jnp.int32)
+            eps = _gaussian_oracle_eps(s, xt, int(t), mu, std)
+            xt, _ = s.ddim_prev(xt, eps, tb, jnp.full((4,), int(tp), jnp.int32),
+                                jax.random.key(0), eta=0.0)
+        return np.asarray(xt)
+
+    def run_dpmpp(n_steps):
+        ts = ddim_timesteps(T, n_steps)
+        ts_prev = np.concatenate([ts[1:], [-1]])
+        ts_last = np.concatenate([ts[:1], ts[:-1]])
+        use2m = (np.arange(n_steps) > 0) & (ts_prev >= 0)
+        xt, d_prev = x_T, jnp.zeros_like(x_T)
+        for t, tp, tl, u in zip(ts, ts_prev, ts_last, use2m):
+            tb = jnp.full((4,), int(t), jnp.int32)
+            eps = _gaussian_oracle_eps(s, xt, int(t), mu, std)
+            xt, d_prev = s.dpmpp_2m_prev(
+                xt, eps, tb, jnp.full((4,), int(tp), jnp.int32), d_prev,
+                jnp.full((4,), int(tl), jnp.int32), jnp.full((4,), bool(u)))
+        return np.asarray(xt)
+
+    x_ref = run_ddim(T)  # full-chain DDIM ≈ the exact ODE solution
+    err_ddim = np.abs(run_ddim(10) - x_ref).mean()
+    err_dpmpp = np.abs(run_dpmpp(10) - x_ref).mean()
+    assert np.isfinite(err_dpmpp)
+    assert err_dpmpp < 0.5 * err_ddim, (err_dpmpp, err_ddim)
