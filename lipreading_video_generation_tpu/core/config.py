@@ -137,6 +137,13 @@ class DiffusionConfig:
     # backward the activations fit HBM at the reference config, so recompute
     # is pure overhead — off by default; flip on for configs that OOM.
     remat: bool = False
+    # Sequence-parallel U-Net attention: the H·W token axis (16,384 tokens
+    # at ds=1 @128² — the FLOP-heaviest op here) shards over the mesh's
+    # ``sequence_axis`` and K/V shards rotate via ppermute (ring attention).
+    # Only active when a physical mesh with that axis (size > 1) is in
+    # scope; otherwise the same model runs local flash attention.
+    sequence_parallel: bool = False
+    sequence_axis: str = "model"
 
 
 @dataclass(frozen=True)

@@ -171,14 +171,9 @@ class TransformerBlock(nn.Module):
     ring_axis: str = None
 
     def _live_ring_mesh(self):
-        if self.ring_axis is None:
-            return None
-        from jax._src import mesh as mesh_lib
+        from ..ops.ring_attention import live_ring_mesh
 
-        env_mesh = mesh_lib.thread_resources.env.physical_mesh
-        if env_mesh.empty or dict(env_mesh.shape).get(self.ring_axis, 1) <= 1:
-            return None
-        return env_mesh
+        return live_ring_mesh(self.ring_axis)
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:

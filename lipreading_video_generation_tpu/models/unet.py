@@ -85,19 +85,42 @@ class ResBlock(nn.Module):
 
 class AttentionBlock(nn.Module):
     """Spatial self-attention with zero-init output projection
-    (unet.py:271-318); scores via flash attention."""
+    (unet.py:271-318); scores via flash attention.
+
+    ``ring_axis`` routes the scores through sequence-parallel ring
+    attention (ops/ring_attention.py) when a physical mesh with that axis
+    (size > 1) is live: the H·W token axis shards over the mesh axis and
+    K/V shards rotate via ``ppermute`` over ICI — the long-context path
+    for full-resolution diffusion attention (16,384 tokens at ds=1 @128²
+    is this repo's FLOP-heaviest op). Off-mesh the same model definition
+    falls back to local flash attention (SURVEY.md §5)."""
 
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    ring_axis: str = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from ..ops.ring_attention import live_ring_mesh
+
         b, h, w, c = x.shape
         hnorm = _group_norm(x)(x).astype(self.dtype)
         flat = hnorm.reshape(b, h * w, c)
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(flat)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        out = mha(q, k, v, self.num_heads)
+        ring_mesh = live_ring_mesh(self.ring_axis)
+        if ring_mesh is not None:
+            from ..ops.ring_attention import ring_attention
+
+            hd = c // self.num_heads
+            to_heads = lambda t: t.reshape(  # noqa: E731
+                b, h * w, self.num_heads, hd).transpose(0, 2, 1, 3)
+            out = ring_attention(
+                to_heads(q), to_heads(k), to_heads(v),
+                mesh=ring_mesh, axis_name=self.ring_axis)
+            out = out.transpose(0, 2, 1, 3).reshape(b, h * w, c)
+        else:
+            out = mha(q, k, v, self.num_heads)
         out = nn.Dense(c, kernel_init=zero_init, dtype=self.dtype, name="proj")(out)
         return x + out.reshape(b, h, w, c)
 
@@ -135,6 +158,7 @@ class EncoderUNetModel(nn.Module):
     time_embed_dim: int = 256
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    ring_axis: str = None   # sequence-parallel attention (see AttentionBlock)
 
     @nn.compact
     def __call__(self, x: jax.Array, t: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -150,13 +174,13 @@ class EncoderUNetModel(nn.Module):
             for _ in range(self.num_res_blocks):
                 h = ResBlock(ch, self.dropout, self.dtype)(h, emb, deterministic)
                 if ds in self.attention_resolutions:
-                    h = AttentionBlock(self.num_heads, self.dtype)(h)
+                    h = AttentionBlock(self.num_heads, self.dtype, self.ring_axis)(h)
             if level != len(self.channel_mult) - 1:
                 h = Downsample(self.dtype)(h)
                 ds *= 2
         ch = self.base_channels * self.channel_mult[-1]
         h = ResBlock(ch, self.dropout, self.dtype)(h, emb, deterministic)
-        h = AttentionBlock(self.num_heads, self.dtype)(h)
+        h = AttentionBlock(self.num_heads, self.dtype, self.ring_axis)(h)
         h = ResBlock(ch, self.dropout, self.dtype)(h, emb, deterministic)
         h = _group_norm(h)(h)
         h = nn.silu(h)
@@ -177,6 +201,7 @@ class UNetModel(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     remat: bool = True
+    ring_axis: str = None   # sequence-parallel attention (see AttentionBlock)
 
     @nn.compact
     def __call__(self, x: jax.Array, t: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -197,7 +222,7 @@ class UNetModel(nn.Module):
             for _ in range(self.num_res_blocks):
                 h = Res(ch, self.dropout, self.dtype)(h, emb, deterministic)
                 if ds in self.attention_resolutions:
-                    h = AttentionBlock(self.num_heads, self.dtype)(h)
+                    h = AttentionBlock(self.num_heads, self.dtype, self.ring_axis)(h)
                 skips.append(h)
             if level != len(self.channel_mult) - 1:
                 h = Downsample(self.dtype)(h)
@@ -206,7 +231,7 @@ class UNetModel(nn.Module):
         # middle
         ch = self.base_channels * self.channel_mult[-1]
         h = Res(ch, self.dropout, self.dtype)(h, emb, deterministic)
-        h = AttentionBlock(self.num_heads, self.dtype)(h)
+        h = AttentionBlock(self.num_heads, self.dtype, self.ring_axis)(h)
         h = Res(ch, self.dropout, self.dtype)(h, emb, deterministic)
         # up path
         for level, mult in reversed(list(enumerate(self.channel_mult))):
@@ -215,7 +240,7 @@ class UNetModel(nn.Module):
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
                 h = Res(ch, self.dropout, self.dtype)(h, emb, deterministic)
                 if ds in self.attention_resolutions:
-                    h = AttentionBlock(self.num_heads, self.dtype)(h)
+                    h = AttentionBlock(self.num_heads, self.dtype, self.ring_axis)(h)
             if level != 0:
                 h = Upsample(self.dtype)(h)
                 ds //= 2

@@ -44,6 +44,7 @@ class UNetAudio(nn.Module):
             dropout=c.dropout,
             dtype=dtype,
             remat=c.remat,
+            ring_axis=c.sequence_axis if c.sequence_parallel else None,
         )
 
     def encode_condition(

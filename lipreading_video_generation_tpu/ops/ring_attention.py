@@ -28,7 +28,22 @@ from jax import shard_map
 
 from .attention import _NEG_INF
 
-__all__ = ["ring_attention"]
+__all__ = ["ring_attention", "live_ring_mesh"]
+
+
+def live_ring_mesh(axis_name: Optional[str]) -> Optional[Mesh]:
+    """The physical mesh currently in scope if it exposes ``axis_name``
+    with size > 1, else None — the "is sequence parallelism live?" check
+    model code uses to fall back to local flash attention off-mesh (unit
+    tests, single chip) with the SAME model definition."""
+    if axis_name is None:
+        return None
+    from jax._src import mesh as mesh_lib
+
+    env_mesh = mesh_lib.thread_resources.env.physical_mesh
+    if env_mesh.empty or dict(env_mesh.shape).get(axis_name, 1) <= 1:
+        return None
+    return env_mesh
 
 
 def _local_block_update(q, k_blk, v_blk, acc, m, l, sm_scale):

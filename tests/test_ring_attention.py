@@ -87,3 +87,43 @@ def test_vivit_sequence_parallel_matches_local():
     # off-mesh, the sequence_parallel config falls back to the local path
     got_off = ViViT(seq_par).apply({"params": params}, clips)
     np.testing.assert_allclose(np.asarray(got_off), np.asarray(want), rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_unet_sequence_parallel_matches_local():
+    """The diffusion U-Net's spatial attention through the ring: UNetAudio
+    with ``sequence_parallel=True`` on a model=2 mesh must reproduce the
+    local flash-attention denoise output (attention at ds=2: 8×8 = 64
+    tokens sharded over 2 devices). At the production config this is the
+    16,384-token ds=1 attention — the repo's FLOP-heaviest op."""
+    import dataclasses
+
+    from lipreading_video_generation_tpu.core.config import DiffusionConfig
+    from lipreading_video_generation_tpu.models.unet_audio import UNetAudio
+
+    base = DiffusionConfig(
+        im_size=16, base_channels=32, channel_mult=(1, 2), num_res_blocks=1,
+        attention_resolutions=(2,), num_heads=2, time_embed_dim=64,
+        audio_embed_dim=64, audio_proj_dim=16, im_cond_channels=8,
+        audio_samples=800, num_timesteps=10, dtype="float32", dropout=0.0,
+    )
+    seq_par = dataclasses.replace(base, sequence_parallel=True)
+    rng = np.random.default_rng(0)
+    # batch 4: the audio tower's TP activation constraints pin batch to the
+    # data axis (4 here), like every production entrypoint's padded batches
+    xt = jnp.asarray(rng.standard_normal((4, 16, 16, 3)).astype(np.float32))
+    cond = jnp.asarray(rng.standard_normal((4, 16, 16, 3)).astype(np.float32))
+    audio = jnp.asarray(rng.standard_normal((4, 800)).astype(np.float32))
+    t = jnp.asarray([3, 7, 1, 9], jnp.int32)
+
+    params = UNetAudio(base).init(jax.random.key(0), xt, cond, audio, t)["params"]
+    want = UNetAudio(base).apply({"params": params}, xt, cond, audio, t)
+
+    spec = pmesh.build_mesh(MeshConfig(data_parallel=4, model_parallel=2))
+    with spec.mesh:
+        got = UNetAudio(seq_par).apply({"params": params}, xt, cond, audio, t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+    # off-mesh, the sequence_parallel config falls back to the local path
+    got_off = UNetAudio(seq_par).apply({"params": params}, xt, cond, audio, t)
+    np.testing.assert_allclose(np.asarray(got_off), np.asarray(want), rtol=1e-6, atol=1e-6)
