@@ -195,6 +195,25 @@ def activation_constraint(x, *parts):
         return x
     if all(names[ax] == 1 for ax in axes):
         return x
+    # drop constraints on dimensions the mesh axis doesn't divide — pjit
+    # would hard-error otherwise (e.g. an odd serving batch under a live
+    # mesh); the production entrypoints pad to mesh multiples, but library
+    # callers with ragged batches should degrade to "unconstrained", not
+    # crash. Composite axes (tuples) drop as a unit.
+    def _fits(p, dim):
+        if p is None:
+            return True
+        sz = 1
+        for ax in (p if isinstance(p, (tuple, list)) else (p,)):
+            sz *= names[ax]
+        return dim % sz == 0
+
+    parts = tuple(
+        p if i < x.ndim and _fits(p, x.shape[i]) else None
+        for i, p in enumerate(parts)
+    )
+    if all(p is None for p in parts):
+        return x
     return jax.lax.with_sharding_constraint(x, P(*parts))
 
 

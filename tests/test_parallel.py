@@ -346,3 +346,29 @@ def test_sample_video_dp8_matches_single_device():
         mesh_spec=pmesh.build_mesh(MeshConfig())))
     assert dp8.shape == single.shape == (5, 16, 16, 3)
     assert np.max(np.abs(dp8.astype(np.int32) - single.astype(np.int32))) <= 1
+
+
+def test_activation_constraint_drops_indivisible_dims():
+    """A ragged batch under a live mesh must degrade to 'unconstrained',
+    not crash pjit — only the production entrypoints pad to mesh
+    multiples; library callers shouldn't have to."""
+    from lipreading_video_generation_tpu.parallel.mesh import (
+        activation_constraint,
+        build_mesh,
+    )
+
+    spec = build_mesh(MeshConfig())  # data = 8
+    x_odd = jnp.zeros((3, 5, 16))
+    x_even = jnp.zeros((8, 5, 16))
+
+    @jax.jit
+    def f(a, b):
+        return (activation_constraint(a, "data", None, None),
+                activation_constraint(b, "data", None, None))
+
+    with spec.mesh:
+        a, b = f(x_odd, x_even)
+    assert a.shape == x_odd.shape
+    # the divisible operand still gets its batch sharding
+    assert "data" in str(b.sharding.spec)
+    assert b.sharding.spec[0] == "data"
