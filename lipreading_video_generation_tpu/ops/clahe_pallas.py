@@ -53,11 +53,14 @@ __all__ = ["clahe_pallas", "clahe_supported"]
 
 # per-program VMEM for the one-hot + blended-LUT intermediates must fit;
 # above this pixel count the caller should use the XLA path. The boundary
-# is hardware-verified: 128×128 (= exactly 16384 px, the largest admitted
-# shape) compiles under Mosaic and matches the XLA path bit-exactly on a
-# real v5e (scripts/check_tpu_kernels.py covers it); product shapes are
-# far smaller (48×48 = 2304 px).
-_MAX_PIXELS = 16384
+# is hardware-verified UNDER JIT — the representative context, since the
+# production pipeline always runs CLAHE inside a fused jitted program:
+# 112×112 (= 12544 px) compiles and matches the XLA path on a real v5e
+# (scripts/check_tpu_kernels.py gates it); 128×128 passes only as a
+# standalone eager dispatch (operands stay in HBM) and OOMs scoped VMEM
+# by ~4.4 MB when XLA fuses the operands into the kernel's scoped
+# allocation under jit. Product shapes are far smaller (48×48 = 2304 px).
+_MAX_PIXELS = 12544
 
 
 def clahe_supported(h: int, w: int, grid: Tuple[int, int], nbins: int = 256) -> bool:

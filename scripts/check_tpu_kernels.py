@@ -87,9 +87,12 @@ def main() -> int:
     from lipreading_video_generation_tpu.ops.clahe_pallas import clahe_pallas
     from lipreading_video_generation_tpu.ops.image import clahe_xla
 
-    # 48x48 is the bench shape; 128x128 is exactly _MAX_PIXELS — the
-    # routing boundary clahe_supported admits must compile on hardware
-    for hw in (48, 128):
+    # 48x48 is the bench shape; 112x112 is exactly _MAX_PIXELS — the
+    # routing boundary clahe_supported admits must compile on hardware,
+    # and it must compile UNDER JIT (the production context): 128x128
+    # once passed standalone-eager but OOM'd scoped VMEM when jit fused
+    # the operand constants into the kernel's scoped allocation
+    for hw in (48, 112):
         img = jnp.asarray(rng.integers(0, 256, (4, hw, hw)), jnp.uint8)
         got = np.asarray(jax.jit(
             lambda x: clahe_pallas(x, interpret=False))(img)).astype(np.int32)
