@@ -38,6 +38,9 @@ def main():
         summary["diffusion_sampling"] = run([sys.executable, "scripts/bench_diffusion.py"])
         summary["diffusion_sampling_ddim50"] = run(
             [sys.executable, "scripts/bench_diffusion.py", "--ddim-steps", "50"])
+        summary["diffusion_sampling_dpmpp20"] = run(
+            [sys.executable, "scripts/bench_diffusion.py", "--ddim-steps", "20",
+             "--sampler", "dpmpp"])
         summary["diffusion_train"] = run(
             [sys.executable, "scripts/bench_diffusion_train.py", "--steps", "3"])
     with open(os.path.join(ROOT, args.out), "w") as f:
