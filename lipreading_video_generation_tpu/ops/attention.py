@@ -484,6 +484,159 @@ def flash_attention(
     return _flash(q, k, v, causal, sm_scale, block_q, block_k, interpret)
 
 
+def _mha_einsum(q, k, v, num_heads, causal):
+    """Transpose-free XLA einsum attention on the (B, S, H, D) layout — the
+    short-sequence fallback and the numerics oracle / backward for the
+    fused small-MHA kernel."""
+    b, s_q, e = q.shape
+    s_k = k.shape[1]
+    hd = e // num_heads
+    qh = q.reshape(b, s_q, num_heads, hd)
+    kh = k.reshape(b, s_k, num_heads, hd)
+    vh = v.reshape(b, s_k, num_heads, hd)
+    scale = 1.0 / math.sqrt(hd)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                        preferred_element_type=jnp.float32) * scale
+    if causal:
+        mask = jnp.tril(jnp.ones((s_q, s_k), dtype=bool), k=s_k - s_q)
+        logits = jnp.where(mask, logits, _NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh)
+    return out.reshape(b, s_q, e)
+
+
+# ---------------------------------------------------------------------------
+# fused small-sequence MHA: all heads of one batch element in one program
+# ---------------------------------------------------------------------------
+#
+# At ViViT scale (S=81, 8 heads of d=32, b=256) attention is bound by
+# neither HBM nor FLOPs but by per-grid-iteration overhead: both the
+# einsum path (a 2048-batch tiny-K batched matmul) and the flash kernel
+# (grid 2048×1×1) cost ~2 µs per (batch·head) iteration — measured
+# identical at ~4.3 ms, half the 12-layer forward, for 5% of its FLOPs.
+# This kernel cuts the grid to (batch,) by folding the head axis into the
+# token axis: Q/K/V become (H·S_pad, D) per program, ONE (H·S_pad, H·S_pad)
+# logits matmul computes every head's scores (cross-head entries too — 8×
+# extra MXU work that is nearly free), a block-diagonal mask kills the
+# cross-head terms before softmax, and ONE P·V matmul (K = H·S_pad, large,
+# MXU-efficient) finishes. The (H·S_pad)² logits never leave VMEM — the
+# same formulation in XLA loses 5× because 430 MB/layer of masked scores
+# round-trip HBM (scripts/profile_vivit_variants.py records all variants).
+
+_SMALL_MHA_MAX_HS = 1024  # logits buffer: (hs, hs) f32 ≤ 4 MB VMEM
+
+
+def _small_mha_pad(num_heads: int, s: int) -> int:
+    """Per-head padded sequence: smallest multiple of 8 with
+    num_heads·s_pad a multiple of 128 (clean lane tiling for the fused
+    (H·S_pad)² logits)."""
+    step = 128 // math.gcd(num_heads, 128)
+    step *= 8 // math.gcd(step, 8)
+    return -(-s // step) * step
+
+
+def _small_mha_kernel(q_ref, k_ref, v_ref, rh_ref, ch_ref, cp_ref, rp_ref,
+                      o_ref, *, sm_scale, s, causal):
+    q = q_ref[0].astype(jnp.float32) * sm_scale          # (hs, d)
+    k = k_ref[0].astype(jnp.float32)
+    # precision pinned to DEFAULT: a global jax_default_matmul_precision=
+    # highest would stamp fp32 contract precision onto the bf16 P·V matmul
+    # below, which Mosaic rejects ('Bad lhs type') — same lowering
+    # constraint the CLAHE kernel hit. Accumulation is f32 either way via
+    # preferred_element_type.
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )                                                    # (hs, hs)
+    # block-diagonal mask from host-precomputed index vectors (Mosaic-safe:
+    # no integer div/mod on device)
+    valid = (rh_ref[...] == ch_ref[...]) & (cp_ref[...] < s)
+    if causal:
+        valid = valid & (cp_ref[...] <= rp_ref[...])
+    logits = jnp.where(valid, logits, _NEG_INF)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    p = (p / jnp.maximum(l, 1e-30)).astype(v_ref.dtype)  # match einsum path's
+    o_ref[0] = jax.lax.dot_general(                      # bf16 probs cast
+        p, v_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    ).astype(o_ref.dtype)
+
+
+def _small_mha_forward(q, k, v, num_heads, causal, interpret):
+    b, s, e = q.shape
+    hd = e // num_heads
+    s_pad = _small_mha_pad(num_heads, s)
+    hs = num_heads * s_pad
+
+    def arrange(t):                                      # (b, s, e) -> (b, hs, hd)
+        t = t.reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3)
+        t = _pad_to(t, 2, s_pad) if s_pad != s else t
+        return t.reshape(b, hs, hd)
+
+    qa, ka, va = arrange(q), arrange(k), arrange(v)
+    pos = np.arange(hs, dtype=np.int32)
+    rh = jnp.asarray((pos // s_pad)[:, None])            # (hs, 1) head-of-row
+    ch = jnp.asarray((pos // s_pad)[None, :])            # (1, hs) head-of-col
+    cp = jnp.asarray((pos % s_pad)[None, :])             # (1, hs) pos-in-head
+    rp = jnp.asarray((pos % s_pad)[:, None])             # (hs, 1)
+
+    fixed = lambda i: (0, 0)
+    out = pl.pallas_call(
+        functools.partial(_small_mha_kernel, sm_scale=1.0 / math.sqrt(hd),
+                          s=s, causal=causal),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, hs, hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, hs, hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, hs, hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((hs, 1), fixed),
+            pl.BlockSpec((1, hs), fixed),
+            pl.BlockSpec((1, hs), fixed),
+            pl.BlockSpec((hs, 1), fixed),
+        ],
+        out_specs=pl.BlockSpec((1, hs, hd), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hs, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+        # logical dims for utils/flops.py (model FLOPs exclude the masked
+        # cross-head work; hw FLOPs count it)
+        name=f"mha_small_s{s}_d{hd}_h{num_heads}",
+    )(qa, ka, va, rh, ch, cp, rp)
+    out = out.reshape(b, num_heads, s_pad, hd)[:, :, :s, :]
+    return out.transpose(0, 2, 1, 3).reshape(b, s, e)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _small_mha(q, k, v, num_heads, causal, interpret):
+    return _small_mha_forward(q, k, v, num_heads, causal, interpret)
+
+
+def _small_mha_vjp_fwd(q, k, v, num_heads, causal, interpret):
+    return _small_mha_forward(q, k, v, num_heads, causal, interpret), (q, k, v)
+
+
+def _small_mha_vjp_bwd(num_heads, causal, interpret, res, g):
+    # backward through the einsum oracle (identical math): at small S the
+    # recompute is cheap and XLA fuses the whole VJP; the kernel only needs
+    # to win the inference/forward side.
+    q, k, v = res
+    _, vjp = jax.vjp(lambda a, b_, c: _mha_einsum(a, b_, c, num_heads, causal),
+                     q, k, v)
+    return vjp(g)
+
+
+_small_mha.defvjp(_small_mha_vjp_fwd, _small_mha_vjp_bwd)
+
+
+def small_mha_viable(num_heads: int, s_q: int, s_k: int, e: int) -> bool:
+    return (s_q == s_k and e % num_heads == 0
+            and num_heads * _small_mha_pad(num_heads, s_q) <= _SMALL_MHA_MAX_HS)
+
+
 def mha(
     q: jax.Array,
     k: jax.Array,
@@ -495,27 +648,21 @@ def mha(
     """Multi-head attention over (B, S, E) inputs: split heads, attend,
     merge. The convenience wrapper models use.
 
-    Short sequences take a transpose-free einsum path on the (B, S, H, D)
-    layout — at the 80-token ViViT scale the per-layer head transposes cost
-    more than the attention math itself.
+    Short self-attention sequences on TPU take the fused small-MHA Pallas
+    kernel (one program per batch element, all heads' scores resident in
+    VMEM — see the block comment above ``_small_mha_kernel``); off-TPU they
+    fall back to a transpose-free einsum path, long sequences to the flash
+    kernel.
     """
     b, s_q, e = q.shape
     s_k = k.shape[1]
     hd = e // num_heads
 
     if s_q * s_k <= 128 * 128 or not use_flash:
-        qh = q.reshape(b, s_q, num_heads, hd)
-        kh = k.reshape(b, s_k, num_heads, hd)
-        vh = v.reshape(b, s_k, num_heads, hd)
-        scale = 1.0 / math.sqrt(hd)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
-                            preferred_element_type=jnp.float32) * scale
-        if causal:
-            mask = jnp.tril(jnp.ones((s_q, s_k), dtype=bool), k=s_k - s_q)
-            logits = jnp.where(mask, logits, _NEG_INF)
-        probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh)
-        return out.reshape(b, s_q, e)
+        if (use_flash and small_mha_viable(num_heads, s_q, s_k, e)
+                and jax.default_backend() == "tpu"):
+            return _small_mha(q, k, v, num_heads, causal, False)
+        return _mha_einsum(q, k, v, num_heads, causal)
 
     def split(x, s):
         return x.reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3)

@@ -158,6 +158,12 @@ _FLASH_NAME = re.compile(r"flash_(fwd|dkv|dq)_sq(\d+)_sk(\d+)_d(\d+)")
 #     fwd: 2;  dkv: S-recompute + dP + dV + dK = 4;  dq: S + dP + dQ = 3
 _FLASH_MATMULS = {"fwd": (2.0, 2.0), "dkv": (2.0, 4.0), "dq": (2.0, 3.0)}
 
+# fused small-MHA kernel (ops/attention.py:_small_mha_kernel): heads folded
+# into the token axis, so the hardware computes the full (H·S_pad)² score
+# block (cross-head terms included, masked before softmax) while the model
+# only needed the H per-head (S, S) blocks.
+_SMALL_MHA_NAME = re.compile(r"mha_small_s(\d+)_d(\d+)_h(\d+)")
+
 
 def _eqn_pallas_flops(eqn) -> tuple:
     """(model_flops, hardware_flops) of one flash-attention ``pallas_call``.
@@ -182,6 +188,15 @@ def _eqn_pallas_flops(eqn) -> tuple:
         n_model, n_hw = _FLASH_MATMULS[kind]
         return (2.0 * n_model * bh * sq * sk * d,
                 2.0 * n_hw * bh * sq_pad * sk_pad * d_pad)
+    m = _SMALL_MHA_NAME.search(str(eqn.params.get("name") or ""))
+    if m:
+        s, d, h = (int(m.group(i)) for i in (1, 2, 3))
+        b, hs_pad, d_op = big[0]
+        # model: QKᵀ + PV at logical per-head dims; hw: both matmuls over
+        # the fused (hs_pad)² block with the contraction/output lane dim
+        # padded to 128
+        return (4.0 * b * h * s * s * d,
+                4.0 * b * hs_pad * hs_pad * max(128.0, float(d_op)))
     # a kernel that declares its own pl.CostEstimate (e.g. the CLAHE
     # kernel) is authoritative — its matmuls are algorithmic work, so
     # model == hw; the shape heuristic below misreads non-attention

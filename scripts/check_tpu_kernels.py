@@ -103,6 +103,25 @@ def main() -> int:
               f"max abs diff {diff} gray levels")
         ok &= clahe_ok
 
+    # fused small-MHA: compiled Mosaic (block-diag heads, grid=(batch,))
+    # vs the einsum path — under jit, the production context
+    from lipreading_video_generation_tpu.ops import attention as att
+
+    for name, (b, s, e, h), causal, dtype in [
+        ("small-mha vivit s=81 h=8", (8, 81, 256, 8), False, jnp.float32),
+        ("small-mha bf16 s=81 h=8", (8, 81, 256, 8), False, jnp.bfloat16),
+        ("small-mha causal s=33 h=4", (4, 33, 64, 4), True, jnp.float32),
+        ("small-mha h=1 s=16", (2, 16, 32, 1), False, jnp.float32),
+    ]:
+        q = jnp.asarray(rng.standard_normal((b, s, e)), dtype)
+        k = jnp.asarray(rng.standard_normal((b, s, e)), dtype)
+        v = jnp.asarray(rng.standard_normal((b, s, e)), dtype)
+        got = jax.jit(lambda a, b_, c: att._small_mha(a, b_, c, h, causal,
+                                                      False))(q, k, v)
+        want = att._mha_einsum(q, k, v, h, causal)
+        tol = 3e-2 if dtype == jnp.bfloat16 else 2e-3
+        ok &= check(name, got, want, tol, tol)
+
     print("ALL PASS" if ok else "FAILURES PRESENT")
     return 0 if ok else 1
 

@@ -189,3 +189,78 @@ def test_flash_gradients_weighted_cotangent(rng):
         lambda a, b, c: jnp.sum(w * attention_reference(a, b, c)),
         q, k, v,
     )
+
+
+# ---------------------------------------------------------------------------
+# fused small-MHA kernel (interpret mode; compiled Mosaic is gated on real
+# hardware by scripts/check_tpu_kernels.py)
+# ---------------------------------------------------------------------------
+
+def _bse(rng, b, s, e, dtype=np.float32):
+    q = jnp.asarray(rng.standard_normal((b, s, e)).astype(dtype))
+    k = jnp.asarray(rng.standard_normal((b, s, e)).astype(dtype))
+    v = jnp.asarray(rng.standard_normal((b, s, e)).astype(dtype))
+    return q, k, v
+
+
+@pytest.mark.parametrize("b,s,e,h,causal", [
+    (3, 81, 256, 8, False),   # the ViViT shape
+    (2, 81, 256, 8, True),
+    (2, 33, 64, 4, False),    # odd length, fewer heads
+    (1, 16, 32, 1, True),     # single head pads s to 128
+])
+def test_small_mha_matches_einsum(rng, b, s, e, h, causal):
+    from lipreading_video_generation_tpu.ops import attention as att
+
+    q, k, v = _bse(rng, b, s, e)
+    assert att.small_mha_viable(h, s, s, e)
+    got = att._small_mha(q, k, v, h, causal, True)
+    want = att._mha_einsum(q, k, v, h, causal)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_small_mha_bf16_matches_einsum(rng):
+    from lipreading_video_generation_tpu.ops import attention as att
+
+    q, k, v = _bse(rng, 2, 81, 256, dtype=np.float32)
+    q, k, v = (t.astype(jnp.bfloat16) for t in (q, k, v))
+    got = att._small_mha(q, k, v, 8, False, True)
+    want = att._mha_einsum(q, k, v, 8, False)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=3e-2, atol=3e-2)
+
+
+def test_small_mha_gradients_match_einsum(rng):
+    """The custom VJP's backward is the einsum path; check the composite
+    (pallas fwd, einsum bwd) against einsum-everywhere grads."""
+    from lipreading_video_generation_tpu.ops import attention as att
+
+    q, k, v = _bse(rng, 2, 33, 64)
+    cot = jnp.asarray(rng.standard_normal(q.shape).astype(np.float32))
+
+    def loss_fused(q, k, v):
+        return jnp.sum(att._small_mha(q, k, v, 4, False, True) * cot)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(att._mha_einsum(q, k, v, 4, False) * cot)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_small_mha_viability_gate():
+    from lipreading_video_generation_tpu.ops import attention as att
+
+    assert att.small_mha_viable(8, 81, 81, 256)
+    assert not att.small_mha_viable(8, 81, 120, 256)   # cross-attention
+    assert not att.small_mha_viable(8, 200, 200, 256)  # hs 1600 > VMEM cap
+    assert not att.small_mha_viable(3, 81, 81, 256)    # e % h != 0
+    # padded per-head length keeps h*s_pad a lane multiple
+    assert (8 * att._small_mha_pad(8, 81)) % 128 == 0
+    assert (4 * att._small_mha_pad(4, 33)) % 128 == 0
+    assert (1 * att._small_mha_pad(1, 16)) % 128 == 0
