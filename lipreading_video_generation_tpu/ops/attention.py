@@ -517,13 +517,30 @@ def _mha_einsum(q, k, v, num_heads, causal):
 # This kernel cuts the grid to (batch,) by folding the head axis into the
 # token axis: Q/K/V become (H·S_pad, D) per program, ONE (H·S_pad, H·S_pad)
 # logits matmul computes every head's scores (cross-head entries too — 8×
-# extra MXU work that is nearly free), a block-diagonal mask kills the
-# cross-head terms before softmax, and ONE P·V matmul (K = H·S_pad, large,
-# MXU-efficient) finishes. The (H·S_pad)² logits never leave VMEM — the
-# same formulation in XLA loses 5× because 430 MB/layer of masked scores
-# round-trip HBM (scripts/profile_vivit_variants.py records all variants).
+# extra MXU work), a block-diagonal mask kills the cross-head terms before
+# softmax, and ONE P·V matmul (K = H·S_pad, large, MXU-efficient) finishes.
+# The (H·S_pad)² logits never leave VMEM — the same formulation in XLA
+# loses 5× because 430 MB/layer of masked scores round-trip HBM
+# (scripts/profile_vivit_variants.py records all variants).
+#
+# PRODUCTION VERDICT (round 4): the kernel wins its microbench in
+# isolation but LOSES 1.7× end-to-end inside the fused preprocess+ViViT
+# program at the flagship shape (b=256, h=8, s=81 → hs=768): driver
+# BENCH_r03 measured 58.5k frames/s with it vs 99.6k with the einsum path
+# (VERDICT.md round 3, reproduced on-chip round 4: 58.1k vs einsum).
+# Inside the full program XLA overlaps/fuses the batched-einsum attention
+# with neighboring layers, while the pallas_call is an opaque barrier
+# doing 8× the MXU work — the microbench never sees that context. This is
+# the same microbench-vs-production trap the CLAHE kernel hit. So the
+# fused kernel is OPT-IN (``mha(..., use_fused_small=True)``), kept for
+# shapes/programs where a caller has measured an end-to-end win, and the
+# default small-sequence path is the einsum. ``scripts/bench_gate.py``
+# pins the end-to-end floor so a dispatch-policy regression fails loudly.
 
-_SMALL_MHA_MAX_HS = 1024  # logits buffer: (hs, hs) f32 ≤ 4 MB VMEM
+_SMALL_MHA_MAX_HS = 768  # largest hs verified on hardware (h=8, s=81→96 pad);
+                         # logits (hs, hs) f32 = 2.25 MB VMEM. ADVICE r3:
+                         # hs=1024 admits ~2× that with temporaries +
+                         # double-buffered operands — unverified, so gated out.
 
 
 def _small_mha_pad(num_heads: int, s: int) -> int:
@@ -539,14 +556,14 @@ def _small_mha_kernel(q_ref, k_ref, v_ref, rh_ref, ch_ref, cp_ref, rp_ref,
                       o_ref, *, sm_scale, s, causal):
     q = q_ref[0].astype(jnp.float32) * sm_scale          # (hs, d)
     k = k_ref[0].astype(jnp.float32)
-    # precision pinned to DEFAULT: a global jax_default_matmul_precision=
-    # highest would stamp fp32 contract precision onto the bf16 P·V matmul
-    # below, which Mosaic rejects ('Bad lhs type') — same lowering
-    # constraint the CLAHE kernel hit. Accumulation is f32 either way via
-    # preferred_element_type.
+    # QK^T operands are f32 here, so HIGHEST is Mosaic-legal and keeps the
+    # kernel's numerics aligned with the einsum oracle even under a global
+    # jax_default_matmul_precision=highest (ADVICE r3). Only the bf16 P·V
+    # matmul must stay DEFAULT — fp32 contract precision on bf16 operands
+    # is what Mosaic rejects ('Bad lhs type', the CLAHE-era constraint).
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT,
+        precision=jax.lax.Precision.HIGHEST,
     )                                                    # (hs, hs)
     # block-diagonal mask from host-precomputed index vectors (Mosaic-safe:
     # no integer div/mod on device)
@@ -558,9 +575,11 @@ def _small_mha_kernel(q_ref, k_ref, v_ref, rh_ref, ch_ref, cp_ref, rp_ref,
     p = jnp.exp(logits - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     p = (p / jnp.maximum(l, 1e-30)).astype(v_ref.dtype)  # match einsum path's
-    o_ref[0] = jax.lax.dot_general(                      # bf16 probs cast
+    pv_precision = (jax.lax.Precision.HIGHEST            # bf16 probs cast
+                    if v_ref.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+    o_ref[0] = jax.lax.dot_general(
         p, v_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT,
+        precision=pv_precision,
     ).astype(o_ref.dtype)
 
 
@@ -644,22 +663,29 @@ def mha(
     num_heads: int,
     causal: bool = False,
     use_flash: bool = True,
+    use_fused_small: bool = False,
 ) -> jax.Array:
     """Multi-head attention over (B, S, E) inputs: split heads, attend,
     merge. The convenience wrapper models use.
 
-    Short self-attention sequences on TPU take the fused small-MHA Pallas
+    Short self-attention sequences take a transpose-free einsum path — the
+    measured end-to-end winner at the flagship shapes (see the production
+    verdict above ``_SMALL_MHA_MAX_HS``); long sequences take the flash
+    kernel. ``use_fused_small=True`` opts into the fused small-MHA Pallas
     kernel (one program per batch element, all heads' scores resident in
-    VMEM — see the block comment above ``_small_mha_kernel``); off-TPU they
-    fall back to a transpose-free einsum path, long sequences to the flash
-    kernel.
+    VMEM) for callers that have measured a win in THEIR program.
+
+    Note: the fused path wraps a ``jax.custom_vjp``, so forward-mode AD
+    (``jvp``/``jacfwd``) raises on it; the default einsum path supports
+    both AD modes (ADVICE r3).
     """
     b, s_q, e = q.shape
     s_k = k.shape[1]
     hd = e // num_heads
 
     if s_q * s_k <= 128 * 128 or not use_flash:
-        if (use_flash and small_mha_viable(num_heads, s_q, s_k, e)
+        if (use_flash and use_fused_small
+                and small_mha_viable(num_heads, s_q, s_k, e)
                 and jax.default_backend() == "tpu"):
             return _small_mha(q, k, v, num_heads, causal, False)
         return _mha_einsum(q, k, v, num_heads, causal)

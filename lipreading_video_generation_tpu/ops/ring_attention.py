@@ -132,7 +132,19 @@ def ring_attention(
     n = mesh.shape[axis_name]
     if q.shape[2] % n:
         raise ValueError(f"sequence {q.shape[2]} not divisible by axis {axis_name}={n}")
-    spec = P(None, None, axis_name, None)
+    # Co-shard the batch dim over the mesh's data axis when it divides:
+    # in the dp×tp production programs the incoming activations are already
+    # batch-sharded over `data`, and a P(None, ..) batch spec here would
+    # force SPMD to fully rematerialize (replicate) them at the shard_map
+    # boundary — the `Involuntary full rematerialization` wall VERDICT r3
+    # flagged in MULTICHIP_r03. Attention is batch-elementwise, so the
+    # inner kernel is unchanged; only the partitioning boundary tightens.
+    batch_axis = None
+    mesh_shape = dict(mesh.shape)
+    if (axis_name != "data" and mesh_shape.get("data", 1) > 1
+            and q.shape[0] % mesh_shape["data"] == 0):
+        batch_axis = "data"
+    spec = P(batch_axis, None, axis_name, None)
     fn = shard_map(
         functools.partial(
             _ring_inner, axis_name=axis_name, num_devices=n, sm_scale=sm_scale,
