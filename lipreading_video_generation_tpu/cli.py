@@ -66,27 +66,34 @@ def main(argv: List[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="lvg-tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
+    selftest_help = ("no real binary available: write a torch-side "
+                     "checkpoint in-env (torch.save, exact layout), run the "
+                     "FULL port path on it, then run inference with the "
+                     "ported artifact and print a JSON summary")
     p = _base_parser(sub, "port-s3fd",
                      "port the pretrained s3fd.pth face detector "
                      "(torch state_dict → Orbax params)")
-    p.add_argument("--pth", required=True, help="path to s3fd.pth")
+    p.add_argument("--pth", default=None, help="path to s3fd.pth")
+    p.add_argument("--selftest", action="store_true", help=selftest_help)
     p.add_argument("--out", required=True, help="Orbax artifact path "
                    "(feed to --s3fd-checkpoint flags)")
 
     p = _base_parser(sub, "port-densenet",
                      "port a torchvision densenet121 state_dict "
                      "(imagenet feature extractor) to Orbax params")
-    p.add_argument("--pth", required=True,
+    p.add_argument("--pth", default=None,
                    help="path to densenet121 state_dict .pth")
+    p.add_argument("--selftest", action="store_true", help=selftest_help)
     p.add_argument("--out", required=True, help="Orbax artifact path "
                    "(feed to --densenet-checkpoint flags)")
 
     p = _base_parser(sub, "port-avhubert",
                      "port a fairseq AV-HuBERT checkpoint's video encoder "
                      "(the frozen lipreading expert) to Orbax params")
-    p.add_argument("--pth", required=True,
+    p.add_argument("--pth", default=None,
                    help="fairseq checkpoint (.pt): pretraining or fine-tuned "
                         "seq2seq layout")
+    p.add_argument("--selftest", action="store_true", help=selftest_help)
     p.add_argument("--out", required=True, help="Orbax artifact path "
                    "(feed to train-gan --avhubert-checkpoint)")
     p.add_argument("--num-heads", type=int, default=None,
@@ -270,7 +277,27 @@ def main(argv: List[str] | None = None) -> int:
                    help="DDIM stochasticity: 0 deterministic (default), "
                         "1 DDPM-matched ancestral variance (dpmpp is "
                         "always deterministic)")
+    p.add_argument("--classifier-checkpoint", default=None,
+                   help="train-noisy-classifier artifact: turn on "
+                        "classifier guidance (EncoderUNetModel "
+                        "∇ log p(y|x_t) steers every denoise step)")
+    p.add_argument("--class-label", type=int, default=0,
+                   help="class to guide toward (with --classifier-checkpoint)")
+    p.add_argument("--guidance-scale", type=float, default=2.0,
+                   help="classifier-guidance strength s")
     p.add_argument("--out", required=True)
+
+    p = _base_parser(sub, "train-noisy-classifier",
+                     "train the EncoderUNetModel classifier on q-sampled "
+                     "noisy images for classifier-guided sampling "
+                     "(guided-diffusion; reference defines the model at "
+                     "unet.py:695-905 but never drives it)")
+    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--synthetic", action="store_true",
+                   help="class-k-lights-quadrant-k synthetic task")
+    p.add_argument("--out", required=True,
+                   help="artifact path (feed to sample-diffusion "
+                        "--classifier-checkpoint)")
 
     p = _base_parser(sub, "infer-lipsync", "lip-sync a video to an audio track")
     p.add_argument("--face", required=True)
@@ -304,7 +331,18 @@ def main(argv: List[str] | None = None) -> int:
         parser.error(str(e))
     _enable_compile_cache()
 
+    if args.cmd in ("port-s3fd", "port-densenet", "port-avhubert"):
+        if bool(args.selftest) == bool(args.pth):
+            parser.error(f"{args.cmd}: give exactly one of --pth or --selftest")
+
     if args.cmd == "port-s3fd":
+        if args.selftest:
+            import json
+
+            from .models.selftest import selftest_s3fd
+
+            print(json.dumps({"selftest": "port-s3fd", **selftest_s3fd(args.out)}))
+            return 0
         from .models.ports import port_s3fd
 
         port_s3fd(args.pth, args.out)
@@ -312,6 +350,14 @@ def main(argv: List[str] | None = None) -> int:
         return 0
 
     if args.cmd == "port-densenet":
+        if args.selftest:
+            import json
+
+            from .models.selftest import selftest_densenet
+
+            print(json.dumps(
+                {"selftest": "port-densenet", **selftest_densenet(args.out)}))
+            return 0
         from .models.ports import port_densenet
 
         port_densenet(args.pth, args.out)
@@ -319,6 +365,14 @@ def main(argv: List[str] | None = None) -> int:
         return 0
 
     if args.cmd == "port-avhubert":
+        if args.selftest:
+            import json
+
+            from .models.selftest import selftest_avhubert
+
+            print(json.dumps(
+                {"selftest": "port-avhubert", **selftest_avhubert(args.out)}))
+            return 0
         from .models.ports import port_avhubert
 
         _, pcfg, skipped = port_avhubert(args.pth, args.out,
@@ -747,15 +801,45 @@ def main(argv: List[str] | None = None) -> int:
             rng = np.random.default_rng(cfg.seed)
             cond = jnp.asarray(rng.integers(0, 256, (1, d.im_size, d.im_size, 3), dtype=np.uint8))
             audio = jnp.asarray(rng.standard_normal((1, d.audio_samples)).astype(np.float32))
+        guidance_kw = {}
+        if args.classifier_checkpoint:
+            from .pipelines import train_classifier
+
+            guidance_kw = dict(
+                classifier_cfg=cfg.classifier,
+                classifier_params=train_classifier.load_classifier_params(
+                    args.classifier_checkpoint, cfg.classifier, d),
+                class_label=args.class_label,
+                guidance_scale=args.guidance_scale,
+            )
         x0, snaps = sample_diffusion.sample(
             state, cond, audio, jax.random.key(cfg.seed), d,
             num_inference_steps=args.ddim_steps, eta=args.eta,
-            sampler=args.sampler)
+            sampler=args.sampler, **guidance_kw)
         import cv2
 
         img = np.asarray((x0[0] * 255)).astype(np.uint8)
         cv2.imwrite(args.out, img[:, :, ::-1])
         print(f"wrote {args.out} (+{snaps.shape[0]} snapshots available)")
+        return 0
+
+    if args.cmd == "train-noisy-classifier":
+        import jax
+
+        from .pipelines import train_classifier
+
+        if not args.synthetic:
+            parser.error("train-noisy-classifier currently supports "
+                         "--synthetic (labeled image datasets are external)")
+        rng = np.random.default_rng(cfg.seed)
+        state = train_classifier.train(
+            cfg.classifier, cfg.diffusion,
+            lambda: train_classifier.synthetic_batch(
+                rng, cfg.classifier, cfg.diffusion),
+            num_steps=args.steps, key=jax.random.key(cfg.seed))
+        train_classifier.save_classifier(args.out, state)
+        print(f"trained noisy classifier → {args.out} "
+              f"({cfg.classifier.num_classes} classes)")
         return 0
 
     if args.cmd == "infer-lipsync":

@@ -147,6 +147,31 @@ class DiffusionConfig:
 
 
 @dataclass(frozen=True)
+class ClassifierConfig:
+    """Noisy-image classifier for classifier-guided sampling — the
+    ``EncoderUNetModel`` driver (reference: the down-path classifier
+    variant at video-generation/diffusion/unet.py:695-905, which the
+    reference defines but never trains or samples with). Trained on
+    q-sampled x_t at uniform t, it supplies ∇_{x_t} log p(y | x_t) to
+    ``sample-diffusion --classifier-checkpoint`` (guided-diffusion's
+    classifier guidance). The noise schedule comes from the
+    ``diffusion`` section — guidance must match the sampling chain."""
+
+    num_classes: int = 4
+    base_channels: int = 32
+    channel_mult: Tuple[int, ...] = (1, 2, 4)
+    num_res_blocks: int = 1
+    attention_resolutions: Tuple[int, ...] = (4,)
+    num_heads: int = 2
+    time_embed_dim: int = 128
+    dropout: float = 0.0
+    # training
+    batch_size: int = 32
+    learning_rate: float = 3e-4
+    dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
 class ViViTConfig:
     """ViViT word-level lipreader (reference: lipreading/main.py:33-36,59-60,
     huggingface_vivit_model.py:18-46)."""
@@ -236,6 +261,7 @@ class Config:
     mesh: MeshConfig = field(default_factory=MeshConfig)
     gan: GanConfig = field(default_factory=GanConfig)
     diffusion: DiffusionConfig = field(default_factory=DiffusionConfig)
+    classifier: ClassifierConfig = field(default_factory=ClassifierConfig)
     vivit: ViViTConfig = field(default_factory=ViViTConfig)
     feature_transformer: FeatureTransformerConfig = field(default_factory=FeatureTransformerConfig)
     sentence_eval: SentenceEvalConfig = field(default_factory=SentenceEvalConfig)

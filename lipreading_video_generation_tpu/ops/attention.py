@@ -126,6 +126,16 @@ def _pad_to(x: jax.Array, axis: int, mult: int) -> jax.Array:
     return jnp.pad(x, widths)
 
 
+def _head_dim_pad(d: int) -> int:
+    """Lane padding for the head dim: 64 stays 64 — padding d=64 to 128
+    doubles the QK^T and P·V MXU work for zeros (measured on-chip r4:
+    1.03 → 0.906 ms at the diffusion ds=1 shape S=16384; the U-Net's
+    single-head d=64 attention is the repo's FLOP-heaviest op). Mosaic
+    handles 64-lane tiles natively; anything >64 rounds to a 128
+    multiple."""
+    return 64 if d <= 64 else ((d + 127) // 128) * 128
+
+
 def _flash_forward(
     q, k, v, causal, sm_scale, block_q, block_k, interpret
 ):
@@ -136,8 +146,9 @@ def _flash_forward(
     block_q = min(block_q, max(8, 1 << (s_q - 1).bit_length()))
     block_k = min(block_k, max(8, 1 << (s_k - 1).bit_length()))
 
-    # MXU-friendly padding: lanes (last dim) to 128, sequence to block size
-    d_pad = max(128, ((d + 127) // 128) * 128)
+    # MXU-friendly padding: lanes (last dim) to 64/128 multiples, sequence
+    # to block size
+    d_pad = _head_dim_pad(d)
     qp = _pad_to(_pad_to(q, 3, d_pad), 2, block_q).reshape(b * h, -1, d_pad)
     kp = _pad_to(_pad_to(k, 3, d_pad), 2, block_k).reshape(b * h, -1, d_pad)
     vp = _pad_to(_pad_to(v, 3, d_pad), 2, block_k).reshape(b * h, -1, d_pad)
@@ -316,7 +327,7 @@ def _flash_backward_pallas(
     s_k = k.shape[2]
     block_q = min(block_q, max(8, 1 << (s_q - 1).bit_length()))
     block_k = min(block_k, max(8, 1 << (s_k - 1).bit_length()))
-    d_pad = max(128, ((d + 127) // 128) * 128)
+    d_pad = _head_dim_pad(d)
 
     qp = _pad_to(_pad_to(q, 3, d_pad), 2, block_q).reshape(b * h, -1, d_pad)
     kp = _pad_to(_pad_to(k, 3, d_pad), 2, block_k).reshape(b * h, -1, d_pad)
@@ -477,10 +488,14 @@ def flash_attention(
     s_q, s_k = q.shape[2], k.shape[2]
     if s_q * s_k <= 128 * 128:
         return attention_reference(q, k, v, causal, sm_scale)
+    # On-chip block sweep at S=16384 (r4, scripts/profile_diffusion_b1.py):
+    # 128→7.9 ms, 512→1.8 ms, 1024→1.03 ms (2048-row q blocks fail to
+    # compile on the v5e) — bigger tiles shrink the sequential kv grid and
+    # its per-iteration overhead.
     if block_q is None:
-        block_q = 512 if s_q >= 4096 else 128
+        block_q = 1024 if s_q >= 8192 else (512 if s_q >= 4096 else 128)
     if block_k is None:
-        block_k = 512 if s_k >= 4096 else 128
+        block_k = 1024 if s_k >= 8192 else (512 if s_k >= 4096 else 128)
     return _flash(q, k, v, causal, sm_scale, block_q, block_k, interpret)
 
 

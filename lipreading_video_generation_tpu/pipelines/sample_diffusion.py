@@ -48,7 +48,30 @@ def encode_condition(
                        method=UNetAudio.encode_condition)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "use_ema"))
+def _guided_eps(eps, xt, tb, scheduler, clf_cfg, guidance):
+    """Classifier guidance (guided-diffusion): steer the noise prediction
+    with the classifier's score, ε' = ε − s·√(1−ᾱ_t)·∇_{x_t} log p(y|x_t)
+    — equivalent to adding s·Σ·∇log p(y|x) to the posterior mean. The
+    classifier is an ``EncoderUNetModel`` trained on q-sampled noisy
+    images (pipelines/train_classifier.py); reference surface:
+    video-generation/diffusion/unet.py:695-905 (defined, never driven)."""
+    from .train_classifier import make_classifier
+
+    model = make_classifier(clf_cfg)
+    y = guidance["label"]
+
+    def logp(x):
+        logits = model.apply({"params": guidance["params"]}, x, tb)
+        lsm = jax.nn.log_softmax(logits, axis=-1)
+        return jnp.sum(lsm[jnp.arange(x.shape[0]), y])
+
+    grad = jax.grad(logp)(xt)
+    so = jnp.asarray(scheduler.sqrt_one_minus_alpha_cum_prod)[tb]
+    so = so.reshape((-1,) + (1,) * (xt.ndim - 1))
+    return eps - guidance["scale"] * so * grad
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_ema", "clf_cfg"))
 def _scan_segment(
     state: DiffusionTrainState,
     xt: jax.Array,
@@ -57,6 +80,8 @@ def _scan_segment(
     key: jax.Array,
     cfg: DiffusionConfig,
     use_ema: bool = False,
+    clf_cfg=None,
+    guidance=None,          # {"params", "label", "scale"} when clf_cfg set
 ) -> Tuple[jax.Array, jax.Array]:
     scheduler = make_scheduler(cfg.scheduler, cfg.num_timesteps, cfg.beta_start, cfg.beta_end)
     model = UNetAudio(cfg)
@@ -67,13 +92,15 @@ def _scan_segment(
         xt = carry
         tb = jnp.full((b,), t, jnp.int32)
         eps = model.apply({"params": params}, xt, cond_map, tb, method=UNetAudio.denoise)
+        if clf_cfg is not None:
+            eps = _guided_eps(eps, xt, tb, scheduler, clf_cfg, guidance)
         xt_prev, x0 = scheduler.sample_prev_timestep(xt, eps, tb, jax.random.fold_in(key, t))
         return xt_prev, x0
 
     return jax.lax.scan(step, xt, ts)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "eta", "use_ema"))
+@functools.partial(jax.jit, static_argnames=("cfg", "eta", "use_ema", "clf_cfg"))
 def _scan_segment_ddim(
     state: DiffusionTrainState,
     xt: jax.Array,
@@ -84,6 +111,8 @@ def _scan_segment_ddim(
     cfg: DiffusionConfig,
     eta: float = 0.0,
     use_ema: bool = False,
+    clf_cfg=None,
+    guidance=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """DDIM segment: like ``_scan_segment`` but each scan step jumps
     t → t_prev over the strided subsequence (``Scheduler.ddim_prev``),
@@ -98,6 +127,8 @@ def _scan_segment_ddim(
         t, t_prev = t_pair
         tb = jnp.full((b,), t, jnp.int32)
         eps = model.apply({"params": params}, xt, cond_map, tb, method=UNetAudio.denoise)
+        if clf_cfg is not None:
+            eps = _guided_eps(eps, xt, tb, scheduler, clf_cfg, guidance)
         xt_prev, x0 = scheduler.ddim_prev(
             xt, eps, tb, jnp.full((b,), t_prev, jnp.int32),
             jax.random.fold_in(key, t), eta=eta)
@@ -106,7 +137,7 @@ def _scan_segment_ddim(
     return jax.lax.scan(step, xt, (ts, ts_prev))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "use_ema"))
+@functools.partial(jax.jit, static_argnames=("cfg", "use_ema", "clf_cfg"))
 def _scan_segment_dpmpp(
     state: DiffusionTrainState,
     xt: jax.Array,
@@ -118,6 +149,8 @@ def _scan_segment_dpmpp(
     use_2m: jax.Array,      # (seg,) bool: apply the second-order correction
     cfg: DiffusionConfig,
     use_ema: bool = False,
+    clf_cfg=None,
+    guidance=None,
 ) -> Tuple[Tuple[jax.Array, jax.Array], jax.Array]:
     """DPM-Solver++(2M) segment: second-order multistep ODE solver — same
     per-step cost as DDIM (one model forward) at roughly half the steps for
@@ -133,6 +166,8 @@ def _scan_segment_dpmpp(
         t, t_prev, t_last, second = x
         tb = jnp.full((b,), t, jnp.int32)
         eps = model.apply({"params": params}, xt, cond_map, tb, method=UNetAudio.denoise)
+        if clf_cfg is not None:
+            eps = _guided_eps(eps, xt, tb, scheduler, clf_cfg, guidance)
         xt_prev, d = scheduler.dpmpp_2m_prev(
             xt, eps, tb, jnp.full((b,), t_prev, jnp.int32), d_prev,
             jnp.full((b,), t_last, jnp.int32), second)
@@ -154,9 +189,18 @@ def sample(
     eta: float = 0.0,
     mesh_spec=None,
     sampler: str = "ddim",
+    classifier_cfg=None,
+    classifier_params=None,
+    class_label: int | jax.Array | None = None,
+    guidance_scale: float = 1.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (x0 (B, H, W, 3) in [0,1], snapshots (S, B, H, W, 3)).
     ``use_ema`` samples with the EMA shadow params (utils.py:92-102).
+
+    ``classifier_cfg`` + ``classifier_params`` + ``class_label`` turn on
+    classifier guidance: every denoise step's ε is shifted by
+    −scale·√(1−ᾱ_t)·∇_{x_t} log p(y|x_t) from the EncoderUNetModel
+    classifier (train-noisy-classifier). Works with all three samplers.
 
     ``num_inference_steps`` < ``cfg.num_timesteps`` switches to few-step
     sampling over a strided timestep subsequence — e.g. 50 model forwards
@@ -180,6 +224,11 @@ def sample(
             f"num_inference_steps must be >= 1, got {num_inference_steps}")
     if sampler not in ("ddim", "dpmpp"):
         raise ValueError(f"unknown sampler {sampler!r} (ddim | dpmpp)")
+    if (classifier_cfg is None) != (classifier_params is None):
+        raise ValueError("classifier guidance needs both classifier_cfg and "
+                         "classifier_params")
+    if classifier_cfg is not None and class_label is None:
+        raise ValueError("classifier guidance needs class_label")
     mesh_ctx = contextlib.nullcontext()
     b = cond_frame_uint8.shape[0]
     n_pad = 0
@@ -207,7 +256,8 @@ def sample(
         x0, snaps = _sample_impl(
             state, cond_frame_uint8, audio_wave, key, cfg, snapshot_every,
             use_ema, segment_size, num_inference_steps, eta, mesh_spec,
-            sampler,
+            sampler, classifier_cfg, classifier_params, class_label,
+            guidance_scale,
         )
     if n_pad:
         x0, snaps = x0[:b], snaps[:, :b]
@@ -228,10 +278,17 @@ def ddim_timesteps(num_timesteps: int, num_inference_steps: int) -> np.ndarray:
 def _sample_impl(
     state, cond_frame_uint8, audio_wave, key, cfg, snapshot_every,
     use_ema, segment_size, num_inference_steps, eta, mesh_spec=None,
-    sampler="ddim",
+    sampler="ddim", classifier_cfg=None, classifier_params=None,
+    class_label=None, guidance_scale=1.0,
 ) -> Tuple[jax.Array, jax.Array]:
     cond_map = encode_condition(state, cond_frame_uint8, audio_wave, cfg, use_ema)
     b = cond_frame_uint8.shape[0]
+    guidance = None
+    if classifier_cfg is not None:
+        guidance = {"params": classifier_params,
+                    "label": jnp.broadcast_to(
+                        jnp.asarray(class_label, jnp.int32), (b,)),
+                    "scale": jnp.float32(guidance_scale)}
     k0, kloop = jax.random.split(key)
     xt = jax.random.normal(k0, (b, cfg.im_size, cfg.im_size, cfg.im_channels))
     if mesh_spec is not None:
@@ -264,13 +321,16 @@ def _sample_impl(
                 state, xt, d_prev, cond_map, chunk,
                 jnp.asarray(ts_prev_all[i : i + seg]),
                 jnp.asarray(ts_last_all[i : i + seg]),
-                jnp.asarray(use_2m_all[i : i + seg]), cfg, use_ema)
+                jnp.asarray(use_2m_all[i : i + seg]), cfg, use_ema,
+                classifier_cfg, guidance)
         elif few_step:
             prev_chunk = jnp.asarray(ts_prev_all[i : i + seg])
             xt, x0_traj = _scan_segment_ddim(
-                state, xt, cond_map, chunk, prev_chunk, kloop, cfg, eta, use_ema)
+                state, xt, cond_map, chunk, prev_chunk, kloop, cfg, eta,
+                use_ema, classifier_cfg, guidance)
         else:
-            xt, x0_traj = _scan_segment(state, xt, cond_map, chunk, kloop, cfg, use_ema)
+            xt, x0_traj = _scan_segment(state, xt, cond_map, chunk, kloop, cfg,
+                                        use_ema, classifier_cfg, guidance)
         snaps.append(x0_traj[::snapshot_every])
     snapshots = jnp.concatenate(snaps, axis=0) if snaps else jnp.zeros((0,) + xt.shape)
     final = (jnp.clip(xt, -1.0, 1.0) + 1.0) / 2.0

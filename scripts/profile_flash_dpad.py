@@ -1,0 +1,106 @@
+"""Experiment: flash forward without the d->128 lane padding at d=64
+(the diffusion U-Net ds=1 shape). Compares d_pad=128 (current) vs 64,
+block sweep, plus correctness check vs the einsum reference."""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lipreading_video_generation_tpu.ops import attention as att
+
+K1, K2 = 4, 24
+rng = np.random.default_rng(0)
+
+
+def timed(name, fn, *args):
+    def make(K):
+        @jax.jit
+        def rep(karg, *args):
+            def body(i, carry):
+                out = fn(*args, carry)
+                return carry * 0.5 + jnp.max(jnp.abs(out.astype(jnp.float32))) * 1e-9
+            return jax.lax.fori_loop(0, K, body, jnp.float32(0.0) + karg * 0.0)
+        return rep
+
+    r1, r2 = make(K1), make(K2)
+    _ = float(r1(jnp.int32(0), *args)); _ = float(r2(jnp.int32(0), *args))
+    ts = []
+    for rep, K in ((r1, K1), (r2, K2)):
+        best = 1e9
+        for it in range(3):
+            t0 = time.perf_counter()
+            _ = float(rep(jnp.int32(it + 1), *args))
+            best = min(best, time.perf_counter() - t0)
+        ts.append(best)
+    dt = (ts[1] - ts[0]) / (K2 - K1) * 1000
+    print(f"{name}: {dt:.3f} ms", flush=True)
+    return dt
+
+
+import functools
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def flash_fwd_dpad(q, k, v, sm_scale, block_q, block_k, d_pad):
+    b, h, s_q, d = q.shape
+    s_k = k.shape[2]
+    qp = att._pad_to(att._pad_to(q, 3, d_pad), 2, block_q).reshape(b * h, -1, d_pad)
+    kp = att._pad_to(att._pad_to(k, 3, d_pad), 2, block_k).reshape(b * h, -1, d_pad)
+    vp = att._pad_to(att._pad_to(v, 3, d_pad), 2, block_k).reshape(b * h, -1, d_pad)
+    sq_pad, sk_pad = qp.shape[1], kp.shape[1]
+    grid = (b * h, sq_pad // block_q, sk_pad // block_k)
+    kernel = functools.partial(
+        att._flash_kernel, sm_scale=sm_scale, block_q=block_q, block_k=block_k,
+        q_len=s_q, kv_len=s_k, causal=False)
+    out, lse = pl.pallas_call(
+        kernel, grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, block_k, d_pad), lambda bh, qi, ki: (bh, ki, 0)),
+            pl.BlockSpec((1, block_k, d_pad), lambda bh, qi, ki: (bh, ki, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh, qi, ki: (bh, qi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, sq_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((b * h, sq_pad, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d_pad), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        name=f"flash_dpad{d_pad}",
+    )(qp, kp, vp)
+    return out.reshape(b, h, sq_pad, d_pad)[:, :, :s_q, :d]
+
+
+s, d = 16384, 64
+q = jnp.asarray(rng.standard_normal((1, 1, s, d)).astype(np.float32)).astype(jnp.bfloat16)
+
+# correctness first (small shape)
+qs = jnp.asarray(rng.standard_normal((1, 1, 512, 64)).astype(np.float32))
+want = att.attention_reference(qs, qs, qs, False, d ** -0.5)
+got = flash_fwd_dpad(qs, qs, qs, d ** -0.5, 128, 128, 64)
+err = float(jnp.max(jnp.abs(got - want)))
+print(f"dpad64 correctness maxerr={err:.2e}", flush=True)
+
+for d_pad in (128, 64):
+    for bq, bk in ((512, 512), (1024, 1024), (2048, 1024), (1024, 2048), (2048, 2048)):
+        try:
+            timed(f"fwd s{s} dpad{d_pad} b{bq}x{bk}",
+                  lambda q, carry, bq=bq, bk=bk, dp=d_pad: flash_fwd_dpad(
+                      q + carry.astype(q.dtype), q, q, d ** -0.5, bq, bk, dp), q)
+        except Exception as e:
+            print(f"fwd s{s} dpad{d_pad} b{bq}x{bk}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:120]}", flush=True)

@@ -36,10 +36,18 @@ def test_compiled_flops_counts_conv():
 def test_pallas_flash_attention_counted():
     """The HLO cost model scores pallas_call at 0 FLOPs; the jaxpr walk must
     supply the attention matmuls — model flops at logical dims, hardware
-    flops at lane-padded dims (d 64 → 128) with bwd recompute."""
-    from lipreading_video_generation_tpu.ops.attention import flash_attention
+    flops at lane-padded dims with bwd recompute. Since round 4, d=64
+    stays 64 on the lanes (ops/attention._head_dim_pad) so hw only exceeds
+    model by the backward's recompute matmuls; a d=48 case checks the
+    padded-lane accounting still kicks in (48 → 64)."""
+    from lipreading_video_generation_tpu.ops.attention import (
+        _head_dim_pad,
+        flash_attention,
+    )
 
     b, h, s, d = 2, 4, 256, 64
+    assert _head_dim_pad(64) == 64 and _head_dim_pad(48) == 64
+    assert _head_dim_pad(96) == 128 and _head_dim_pad(129) == 256
 
     @jax.jit
     def f(q):
@@ -50,8 +58,14 @@ def test_pallas_flash_attention_counted():
     bh = b * h
     # model: fwd 2 matmuls + bwd 4 matmuls, logical d
     assert model == pytest.approx(2.0 * 6 * bh * s * s * d)
-    # hw: fwd 2 + dkv 4 + dq 3 matmuls, padded d=128
-    assert hw == pytest.approx(2.0 * 9 * bh * s * s * 128)
+    # hw: fwd 2 + dkv 4 + dq 3 matmuls at the padded (= logical, for 64) d
+    assert hw == pytest.approx(2.0 * 9 * bh * s * s * _head_dim_pad(d))
+
+    # d=48 pads to 64 on the lanes: hw counts the padded width
+    q48 = jnp.zeros((b, h, s, 48))
+    model48, hw48 = F.pallas_flops(f, q48)
+    assert model48 == pytest.approx(2.0 * 6 * bh * s * s * 48)
+    assert hw48 == pytest.approx(2.0 * 9 * bh * s * s * 64)
     detail = F.flops_detail(f, q)
     assert detail["model"] >= model
     assert detail["hw"] - detail["model"] == pytest.approx(hw - model)
