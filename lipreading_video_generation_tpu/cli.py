@@ -321,8 +321,12 @@ def main(argv: List[str] | None = None) -> int:
                         "pipeline falls back to whole-frame boxes")
     p.add_argument("--int8", action="store_true",
                    help="dynamic-int8 generator matmuls (halves matmul HBM "
-                        "bytes; no measured MXU speedup on v5e — see "
-                        "ops/quant.py; quality bound in tests)")
+                        "bytes; memory lever — see ops/quant.py; quality "
+                        "bound in tests)")
+    p.add_argument("--int8-static", action="store_true",
+                   help="int8 with static activation scales calibrated on "
+                        "the first batch (drops runtime reductions; "
+                        "fastest int8 mode)")
 
     args = parser.parse_args(argv)
     try:
@@ -866,8 +870,10 @@ def main(argv: List[str] | None = None) -> int:
         from .parallel.mesh import build_mesh
 
         s3fd_params = s3fd_params_or_init(args.s3fd_checkpoint)
-        gan_cfg = (dataclasses.replace(cfg.gan, serve_int8=True)
-                   if args.int8 else cfg.gan)
+        gan_cfg = cfg.gan
+        if args.int8 or args.int8_static:
+            gan_cfg = dataclasses.replace(
+                cfg.gan, serve_int8=True, serve_int8_static=args.int8_static)
         res = lipsync_video(gen_params, s3fd_params, args.face, args.audio, args.out,
                             gan_cfg, cfg.audio, cfg.preprocess, static_frame=args.static,
                             model_width=cfg.gan.model_width,

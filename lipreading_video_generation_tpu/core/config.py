@@ -85,12 +85,17 @@ class GanConfig:
     num_epochs: int = 10**6     # train until stopped, like the reference
     dtype: str = "bfloat16"
     model_width: float = 1.0    # channel multiplier (1.0 = reference plan)
-    # Serving-only dynamic int8 (ops/quant.py): generator Conv/Dense matmuls
-    # run int8×int8→int32 on the MXU. Halves matmul operand HBM bytes; on
-    # this v5e stack int8 measured ≈ bf16 MXU rate (no 2× — ops/quant.py
-    # docstring), so this is a memory lever, not a speed claim. Training is
+    # Serving-only int8 (ops/quant.py): generator Conv/Dense matmuls run
+    # int8×int8→int32 on the MXU. Halves matmul operand HBM bytes. The v5e
+    # int8 MXU 2× is real (round-4 microbench_int8_v2: 1.9× over bf16) but
+    # this fusion-bound serving program doesn't convert it (BENCH_NOTES.md
+    # int8 section) — a memory lever, not a speed claim here. Training is
     # untouched; quality bound pinned in tests/test_quant.py.
     serve_int8: bool = False
+    # Static-calibrated activation scales (one eager calibration batch at
+    # serving start, zero runtime reductions): recovers most of dynamic
+    # int8's overhead (−18% → −4.6% vs bf16 on the serving bench).
+    serve_int8_static: bool = False
 
 
 @dataclass(frozen=True)

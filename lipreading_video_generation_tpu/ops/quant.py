@@ -1,25 +1,29 @@
-"""Dynamic int8 post-training quantization for serving.
+"""Int8 post-training quantization for serving (dynamic + static modes).
 
-Int8 halves the HBM bytes per matmul operand — a serving lever the
-reference never had (its inference runs fp32/fp16 torch,
-gan-model/inference.py:261-274). The v5e datasheet also lists 2× MXU
-int8 throughput, but **measured on this chip/stack it does not
-materialize**: XLA lowers int8×int8→int32 matmul/conv at ≈ the bf16 rate
-(156 vs 165 TFLOP/s matmul, 154 vs 223 conv), and a Pallas int8 kernel
-ties its bf16 twin (119 vs 119) — see scripts/microbench_int8*.py and
-BENCH_NOTES.md. So this is an opt-in capability for weight-memory /
-HBM-bound regimes, not a compute-throughput claim.
+Int8 halves the HBM bytes per matmul operand, and (round-4 correction —
+see BENCH_NOTES.md "Int8 on the MXU") the v5e's 2× int8 MXU mode IS real
+through plain XLA: ~1.9× bf16 on both matmul and conv
+(scripts/microbench_int8_v2.py; the round-3 "int8 ties bf16" was a
+measurement artifact). What ate the kernel win end-to-end was the
+dynamic-quantization overhead: a per-call ``max(|x|)`` reduction and the
+int8↔float casts around every op. Hence two modes:
 
-This module quantizes MXU-bound ops *at apply time* with no checkpoint
-changes and no calibration pass:
+- **dynamic** (round 3): no calibration pass, activation scale computed
+  per call. Robust, zero setup; pays the reduction every op.
+- **static** (round 4): a one-time calibration pass records each
+  Conv/Dense's max-|activation| over sample batches
+  (``calibrate_activation_scales``); serving then uses those fixed
+  scales, dropping the runtime reductions entirely. Scales are keyed by
+  Flax module path and ride along as a plain dict.
+
+Shared mechanics:
 
 - **Weights**: per-output-channel symmetric int8 (no zero point). Scales
   come from the weights themselves; under ``jit`` the quantization of a
   constant params tree folds into the compiled program.
-- **Activations**: dynamic per-tensor symmetric int8 — one ``max(|x|)``
-  reduction per op, fused by XLA into the surrounding elementwise work.
-  Symmetric quantization maps 0 → 0 exactly, so conv zero-padding stays
-  exact in the integer domain.
+- **Activations**: per-tensor symmetric int8 (dynamic max or calibrated
+  static scale). Symmetric quantization maps 0 → 0 exactly, so conv
+  zero-padding stays exact in the integer domain.
 - **Accumulation**: int32 (``preferred_element_type``), dequantized by the
   product of the two scales. Bias adds after dequant in float.
 
@@ -61,6 +65,13 @@ def _dynamic_quantize(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return x_q, s
 
 
+def _quantize_with_scale(x: jax.Array, s) -> Tuple[jax.Array, jax.Array]:
+    """Per-tensor symmetric int8 with a FIXED (calibrated) scale."""
+    s = jnp.asarray(s, jnp.float32)
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+    return x_q, s
+
+
 def int8_conv(
     x: jax.Array,
     kernel: jax.Array,           # (kh, kw, Cin, Cout) float
@@ -68,13 +79,15 @@ def int8_conv(
     strides,
     padding,
     out_dtype=None,
+    act_scale=None,              # calibrated static scale; None = dynamic
 ) -> jax.Array:
-    """NHWC conv with dynamically-quantized int8 operands and an int32 MXU
-    accumulator; numerically ``conv(x, kernel) + bias`` to within the two
-    quantization roundings."""
+    """NHWC conv with int8 operands and an int32 MXU accumulator;
+    numerically ``conv(x, kernel) + bias`` to within the two quantization
+    roundings (plus clipping to the calibrated range in static mode)."""
     out_dtype = out_dtype or x.dtype
     w_q, w_scale = quantize_channelwise(kernel, axis=-1)      # (1,1,1,Cout)
-    x_q, x_scale = _dynamic_quantize(x)
+    x_q, x_scale = (_quantize_with_scale(x, act_scale) if act_scale is not None
+                    else _dynamic_quantize(x))
     dn = jax.lax.conv_dimension_numbers(
         x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
     acc = jax.lax.conv_general_dilated(
@@ -86,12 +99,14 @@ def int8_conv(
     return out.astype(out_dtype)
 
 
-def int8_dense(x: jax.Array, kernel: jax.Array, bias, out_dtype=None) -> jax.Array:
+def int8_dense(x: jax.Array, kernel: jax.Array, bias, out_dtype=None,
+               act_scale=None) -> jax.Array:
     """``x @ kernel + bias`` with int8 operands / int32 accumulation;
     kernel scales per output feature."""
     out_dtype = out_dtype or x.dtype
     w_q, w_scale = quantize_channelwise(kernel, axis=-1)      # (1, out)
-    x_q, x_scale = _dynamic_quantize(x)
+    x_q, x_scale = (_quantize_with_scale(x, act_scale) if act_scale is not None
+                    else _dynamic_quantize(x))
     acc = jax.lax.dot_general(
         x_q, w_q, (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
@@ -102,14 +117,28 @@ def int8_dense(x: jax.Array, kernel: jax.Array, bias, out_dtype=None) -> jax.Arr
     return out.astype(out_dtype)
 
 
-def _int8_interceptor(next_fun, args, kwargs, context):
+def _module_key(mod) -> str:
+    return "/".join(str(p) for p in mod.path)
+
+
+def _make_int8_interceptor(act_scales=None):
+    def interceptor(next_fun, args, kwargs, context):
+        return _int8_interceptor(next_fun, args, kwargs, context,
+                                 act_scales=act_scales)
+    return interceptor
+
+
+def _int8_interceptor(next_fun, args, kwargs, context, act_scales=None):
     """Flax method interceptor: reroute bound nn.Conv / nn.Dense calls
     through the int8 ops. Anything else (norms, resize, Pallas attention)
     passes through untouched. Init passes through so param shapes/dtypes
-    stay canonical."""
+    stay canonical. ``act_scales`` (module path → float) switches a module
+    to the static calibrated scale; paths absent from the dict stay
+    dynamic."""
     mod = context.module
     if context.method_name != "__call__" or mod.is_initializing():
         return next_fun(*args, **kwargs)
+    act_scale = None if act_scales is None else act_scales.get(_module_key(mod))
     if type(mod) is nn.Conv:
         # grouped/dilated/masked convs, 1-D/3-D convs, and exotic padding
         # are not worth an int8 path here; keep the fast path narrow and
@@ -139,12 +168,12 @@ def _int8_interceptor(next_fun, args, kwargs, context):
                 x, kernel, params.get("bias"),
                 strides, pad if isinstance(pad, str) else tuple(
                     (int(p[0]), int(p[1])) for p in pad),
-                out_dtype=mod.dtype or x.dtype)
+                out_dtype=mod.dtype or x.dtype, act_scale=act_scale)
     if type(mod) is nn.Dense:
         params = mod.variables["params"]
         x = args[0]
         return int8_dense(x, params["kernel"], params.get("bias"),
-                          out_dtype=mod.dtype or x.dtype)
+                          out_dtype=mod.dtype or x.dtype, act_scale=act_scale)
     return next_fun(*args, **kwargs)
 
 
@@ -157,19 +186,50 @@ def _tuple_or(v, default):
 
 
 @contextlib.contextmanager
-def int8_serving():
+def int8_serving(act_scales=None):
     """Context manager: every ``model.apply`` inside routes its Conv/Dense
-    matmuls through dynamic-int8 MXU ops.
+    matmuls through int8 MXU ops — dynamic activation scales by default,
+    calibrated static scales where ``act_scales`` (module path → float,
+    from ``calibrate_activation_scales``) provides one.
 
     >>> with int8_serving():
     ...     out = gen.apply({"params": params}, mel, faces)
     """
-    with nn.intercept_methods(_int8_interceptor):
+    with nn.intercept_methods(_make_int8_interceptor(act_scales)):
         yield
 
 
-def quantized_apply(model: nn.Module, variables, *args, **kwargs):
+def quantized_apply(model: nn.Module, variables, *args,
+                    act_scales=None, **kwargs):
     """``model.apply`` with Conv/Dense routed through int8 (see
     ``int8_serving``)."""
-    with int8_serving():
+    with int8_serving(act_scales):
         return model.apply(variables, *args, **kwargs)
+
+
+def calibrate_activation_scales(apply_fn, batches) -> dict:
+    """One-time static calibration: run ``apply_fn(*batch)`` eagerly over
+    ``batches`` while recording each Conv/Dense input's max-|x|; returns
+    {module path: scale} for ``int8_serving(act_scales=...)``.
+
+    Runs OUTSIDE jit so the recorded maxima are concrete; a few batches
+    suffice (per-tensor symmetric scales saturate quickly). Serving then
+    pays zero runtime reductions — the round-4 lever that lets the ~1.9×
+    int8 MXU rate (microbench_int8_v2) reach end-to-end programs."""
+    import numpy as np
+
+    amax: dict = {}
+
+    def recorder(next_fun, args, kwargs, context):
+        mod = context.module
+        if (context.method_name == "__call__" and not mod.is_initializing()
+                and type(mod) in (nn.Conv, nn.Dense)):
+            key = _module_key(mod)
+            m = float(np.max(np.abs(np.asarray(args[0], np.float32))))
+            amax[key] = max(amax.get(key, 0.0), m)
+        return next_fun(*args, **kwargs)
+
+    with nn.intercept_methods(recorder):
+        for batch in batches:
+            apply_fn(*batch)
+    return {k: max(v, 1e-8) / 127.0 for k, v in amax.items()}

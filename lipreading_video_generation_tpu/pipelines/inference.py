@@ -171,7 +171,10 @@ def lipsync_batch(
     boxes: jax.Array,            # (B, 4) y1y2x1x2 face boxes
     mels: jax.Array,             # (B, 80, 16) aligned mel chunks
     img: int,                    # generator face size (gan_cfg.img_size)
-    int8: bool = False,          # dynamic-int8 generator matmuls (ops/quant.py)
+    int8: bool = False,          # int8 generator matmuls (ops/quant.py)
+    act_scales=None,             # calibrated static activation scales
+                                 # (ops/quant.calibrate_activation_scales) —
+                                 # drops the per-op dynamic reductions
 ) -> jax.Array:
     """One generation batch as a single device program: crop faces →
     mask/concat-reference input prep → generator → paste back into the
@@ -189,7 +192,7 @@ def lipsync_batch(
     if int8:
         from ..ops.quant import int8_serving
 
-        with int8_serving():
+        with int8_serving(act_scales):
             g = gen.apply({"params": params}, mels[..., None], x)
     else:
         g = gen.apply({"params": params}, mels[..., None], x)
@@ -230,9 +233,30 @@ def generate_frames(
     gen = TalkingFaceGenerator(width=model_width)
     img = gan_cfg.img_size
 
+    act_scales = None
+    if gan_cfg.serve_int8 and gan_cfg.serve_int8_static:
+        # one-time eager calibration on the video's first gen_batch_size
+        # frames: records per-module max-|activation| so the jitted
+        # program below uses fixed scales (no runtime reductions)
+        from ..ops import quant
+
+        n_cal = min(pre_cfg.gen_batch_size, num_out)
+        cal_f = jnp.asarray(frames_seq[:n_cal]).astype(jnp.float32)
+        cal_b = jnp.asarray(boxes[:n_cal])
+        crops = jax.vmap(
+            lambda f, bx: image_ops.crop_and_resize(f, bx, (img, img))
+        )(cal_f, cal_b)
+        faces = crops / 255.0
+        x_cal = image_ops.concat_reference(
+            image_ops.mask_lower_half(faces), faces)
+        mel_cal = jnp.asarray(mel_windows[:n_cal])[..., None]
+        act_scales = quant.calibrate_activation_scales(
+            lambda m, xx: gen.apply({"params": gen_params}, m, xx),
+            [(mel_cal, x_cal)])
+
     def gen_batch(params, frames_u8, boxes_b, mels):
         return lipsync_batch(gen, params, frames_u8, boxes_b, mels, img,
-                             int8=gan_cfg.serve_int8)
+                             int8=gan_cfg.serve_int8, act_scales=act_scales)
 
     # one device program for the whole video: pad to a batch multiple and
     # lax.map over step-stacked batches — a single dispatch + single host

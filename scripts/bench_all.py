@@ -33,6 +33,8 @@ def main():
     summary["gan_train"] = run([sys.executable, "scripts/bench_gan.py", "--steps", "5"])
     summary["lipsync_serving"] = run(
         [sys.executable, "scripts/bench_lipsync_serving.py"])
+    summary["lipsync_serving_int8_static"] = run(
+        [sys.executable, "scripts/bench_lipsync_serving.py", "--int8-static"])
     summary["face_detect"] = run([sys.executable, "scripts/bench_face_detect.py"])
     if not args.skip_diffusion:
         summary["diffusion_sampling"] = run([sys.executable, "scripts/bench_diffusion.py"])

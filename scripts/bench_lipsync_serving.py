@@ -46,7 +46,13 @@ def main():
     ap.add_argument("--reps", type=int, default=8, help="in-jit chained passes")
     ap.add_argument("--int8", action="store_true",
                     help="dynamic-int8 generator matmuls (ops/quant.py)")
+    ap.add_argument("--int8-static", action="store_true",
+                    help="int8 with calibrated static activation scales "
+                         "(no runtime reductions; one eager calibration "
+                         "batch first)")
     args = ap.parse_args()
+    if args.int8_static:
+        args.int8 = True
 
     from lipreading_video_generation_tpu.core.config import GanConfig
     from lipreading_video_generation_tpu.models.generator import TalkingFaceGenerator
@@ -69,11 +75,31 @@ def main():
     )
     mels = jnp.asarray(rng.standard_normal((b, 80, 16)).astype(np.float32))
 
+    act_scales = None
+    if args.int8_static:
+        # one-time eager calibration on a representative generator input
+        from lipreading_video_generation_tpu.ops import image as image_ops
+        from lipreading_video_generation_tpu.ops.quant import (
+            calibrate_activation_scales,
+        )
+
+        crops = jax.vmap(
+            lambda f, bx: image_ops.crop_and_resize(f, bx, (img, img))
+        )(frames.astype(jnp.float32), boxes)
+        faces = crops / 255.0
+        x_cal = image_ops.concat_reference(
+            image_ops.mask_lower_half(faces), faces)
+        act_scales = calibrate_activation_scales(
+            lambda m, xx: gen.apply({"params": params}, m, xx),
+            [(mels[..., None], x_cal)])
+        print(f"[calibrated {len(act_scales)} static scales]",
+              file=sys.stderr)
+
     def serve_pass(frames_u8):
         # the production program itself (inference.lipsync_batch) — the
         # bench measures exactly what infer-lipsync serves
         return lipsync_batch(gen, params, frames_u8, boxes, mels, img,
-                             int8=args.int8)
+                             int8=args.int8, act_scales=act_scales)
 
     @jax.jit
     def repeated(frames_u8):
@@ -105,7 +131,8 @@ def main():
     mfu = mfu_report(per_pass_flops, per_pass)
     print(json.dumps({
         "metric": "lipsync_serving_frames_per_sec_per_chip"
-                  + ("_int8" if args.int8 else ""),
+                  + ("_int8_static" if args.int8_static
+                     else "_int8" if args.int8 else ""),
         "value": round(fps, 1),
         "unit": f"frames/sec @ {H}x{W} batch={b} width={args.width}",
         "x_realtime_25fps": round(fps / 25.0, 1),

@@ -1,4 +1,12 @@
-"""Is int8 actually ~2x bf16 on this chip's MXU through XLA?
+"""DEPRECATED (round 4): this harness is INVALID — the fori_loop body's
+operand never depends on the carry, so XLA hoists the single matmul out
+of the loop and every dtype measures fixed dispatch cost. Its round-3
+conclusion ("int8 ties bf16") was an artifact. Use
+scripts/microbench_int8_v2.py (output-chained, full-output-consuming,
+two-K differencing): int8 is ~1.9x bf16 on this chip through plain XLA.
+Kept for the record.
+
+Original question: is int8 actually ~2x bf16 on this chip's MXU through XLA?
 
 The v5e MXU has double int8 throughput (394 int8 TOPS vs 197 bf16). This
 microbench answers whether XLA:TPU lowers jnp.int8 matmul and

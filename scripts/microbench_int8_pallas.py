@@ -1,9 +1,12 @@
-"""Can Pallas/Mosaic hit the v5e MXU's 2x int8 mode where XLA doesn't?
+"""Can Pallas/Mosaic hit the v5e MXU's 2x int8 mode?
 
-scripts/microbench_int8.py showed XLA lowers int8 matmul/conv to ~bf16
-rate (no 2x). This probes a minimal Pallas matmul kernel in bf16 vs int8
-(int32 accumulator) with a strictly-chained timing harness (each iteration
-consumes the previous result, so nothing hoists).
+ROUND-4 CONTEXT: the premise from round 3 ("XLA lowers int8 at ~bf16
+rate") was a harness artifact — scripts/microbench_int8_v2.py shows XLA
+int8 matmul/conv at ~1.9x bf16. THIS script's chaining is sound (the
+operand folds in the previous output), but its single-K timing carries
+the ~20 ms relay dispatch cost divided by K on every row, compressing
+dtype ratios toward 1; treat its absolute numbers as upper bounds on
+latency, and use microbench_int8_v2's two-K differencing for ratios.
 
 Run: python scripts/microbench_int8_pallas.py
 """

@@ -124,3 +124,26 @@ def test_prepare_input_frames_image(tmp_path):
     frames, fps = inf.prepare_input_frames(img_path)
     assert frames.shape == (1, 48, 48, 3) and fps == 25.0
     np.testing.assert_array_equal(frames[0], img)
+
+
+def test_generate_frames_int8_static(tiny_models):
+    """serve_int8_static: one eager calibration pass then fixed-scale int8
+    generation — output close to the float path (same params)."""
+    import dataclasses
+
+    gen_params, _ = tiny_models
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, (4, 64, 64, 3), dtype=np.uint8)
+    boxes = np.tile(np.asarray([8.0, 56.0, 8.0, 56.0], np.float32), (4, 1))
+    mels = rng.standard_normal((4, 80, 16)).astype(np.float32)
+    cfg = GanConfig(model_width=0.125)
+    pre = PreprocessConfig(gen_batch_size=4)
+    f = inf.generate_frames(gen_params, frames, boxes, mels, cfg, pre,
+                            model_width=0.125)
+    q = inf.generate_frames(
+        gen_params, frames, boxes, mels,
+        dataclasses.replace(cfg, serve_int8=True, serve_int8_static=True),
+        pre, model_width=0.125)
+    assert q.shape == f.shape and q.dtype == np.uint8
+    # uint8 frames: int8 quantization error stays small vs the float path
+    assert float(np.mean(np.abs(q.astype(np.float32) - f.astype(np.float32)))) < 8.0

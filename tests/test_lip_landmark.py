@@ -119,14 +119,16 @@ def test_train_landmark_checkpoint_roundtrip(tmp_path):
 
 @pytest.mark.slow
 def test_landmark_generalizes_to_shifted_distribution():
-    """De-circularized evaluation (round-3): train on the standard renderer
-    with photometric-only augmentation, evaluate on shifted_face_batch's
-    held-out transforms (rotation/blur/occlusion/teeth/illumination/
-    out-of-range mouth geometry). The regressor must still beat the
-    geometric face-box fraction there. Measured on this renderer pair:
-    standard IoU ~0.93 vs geometric ~0.43; shifted IoU ~0.54 vs ~0.39
-    (degradation ~0.39, reported in STATUS.md)."""
-    state = tl.train(num_steps=400, batch_size=64, log_every=0, augment=True)
+    """De-circularized evaluation: train on the standard renderer, evaluate
+    on shifted_face_batch's held-out transforms (teeth band, occlusion
+    bar, illumination ramp, out-of-range mouth geometry). Round-4 model
+    (soft-argmax heatmap head + full_augment robustness curriculum):
+    shifted IoU 0.67 @400 steps / **0.78 @2000 steps** vs geometric 0.38
+    (round-3 global-pool+MLP with photometric-only augmentation: 0.54).
+    The 400-step budget keeps this test CPU-tier; the 2000-step number is
+    the production proof (scripts/eval_landmark_shifted.py,
+    landmark_proof_r4.json)."""
+    state = tl.train(num_steps=400, batch_size=64, log_every=0, augment="full")
 
     def eval_iou(batch_fn, n=64, size=128):
         imgs, pts = batch_fn(jax.random.PRNGKey(7), n, size=size)
@@ -140,6 +142,6 @@ def test_landmark_generalizes_to_shifted_distribution():
 
     std_pred, std_geo = eval_iou(ll.synthetic_face_batch)
     sh_pred, sh_geo = eval_iou(ll.shifted_face_batch)
-    assert std_pred > std_geo and std_pred > 0.85, (std_pred, std_geo)
+    assert std_pred > std_geo and std_pred > 0.88, (std_pred, std_geo)
     assert sh_pred > sh_geo, (sh_pred, sh_geo)
-    assert sh_pred > 0.45, sh_pred
+    assert sh_pred > 0.55, sh_pred
