@@ -116,6 +116,7 @@ def main() -> None:
                 "value": round(frames_per_sec, 1),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(frames_per_sec / NORTH_STAR_FPS, 3),
+                "backend": jax.default_backend(),
                 **mfu,
             }
         )

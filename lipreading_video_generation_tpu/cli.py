@@ -234,7 +234,9 @@ def main(argv: List[str] | None = None) -> int:
 
     p = _base_parser(sub, "train-landmark",
                      "train the lip-landmark regressor (MediaPipe-parity mouth crops)")
-    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--steps", type=int, default=2000,
+                   help="2000 steps reaches the round-4 proof quality "
+                        "(shifted IoU 0.78, landmark_proof_r4.json)")
     p.add_argument("--out", default=None, help="save trained landmark params here")
 
     p = _base_parser(sub, "lipread-e2e", "LRS2 → word clips → ViViT train → sentence eval")
@@ -756,6 +758,17 @@ def main(argv: List[str] | None = None) -> int:
                 args.checkpoint, d, jax.random.key(cfg.seed), use_ema=not args.no_ema
             )
             state = state.replace(params=params)
+        guidance_kw = {}
+        if args.classifier_checkpoint:
+            from .pipelines import train_classifier
+
+            guidance_kw = dict(
+                classifier_cfg=cfg.classifier,
+                classifier_params=train_classifier.load_classifier_params(
+                    args.classifier_checkpoint, cfg.classifier, d),
+                class_label=args.class_label,
+                guidance_scale=args.guidance_scale,
+            )
         fps = args.fps
         if args.frames > 1:
             # whole-clip generation: one batched trajectory over sliding
@@ -780,6 +793,7 @@ def main(argv: List[str] | None = None) -> int:
                 num_inference_steps=args.ddim_steps, eta=args.eta,
                 sampler=args.sampler,
                 mesh_spec=build_mesh(cfg.mesh),   # frames shard over the chips
+                **guidance_kw,
             ))
             if args.out.endswith((".mp4", ".avi")):
                 video_io.write_video(args.out, clip, fps=fps)
@@ -805,17 +819,6 @@ def main(argv: List[str] | None = None) -> int:
             rng = np.random.default_rng(cfg.seed)
             cond = jnp.asarray(rng.integers(0, 256, (1, d.im_size, d.im_size, 3), dtype=np.uint8))
             audio = jnp.asarray(rng.standard_normal((1, d.audio_samples)).astype(np.float32))
-        guidance_kw = {}
-        if args.classifier_checkpoint:
-            from .pipelines import train_classifier
-
-            guidance_kw = dict(
-                classifier_cfg=cfg.classifier,
-                classifier_params=train_classifier.load_classifier_params(
-                    args.classifier_checkpoint, cfg.classifier, d),
-                class_label=args.class_label,
-                guidance_scale=args.guidance_scale,
-            )
         x0, snaps = sample_diffusion.sample(
             state, cond, audio, jax.random.key(cfg.seed), d,
             num_inference_steps=args.ddim_steps, eta=args.eta,

@@ -97,6 +97,7 @@ def selftest_s3fd(out_path: str, seed: int = 0) -> Dict[str, Any]:
     from . import s3fd as sf
 
     pth = os.path.abspath(out_path.rstrip("/")) + ".selftest_src.pth"
+    os.makedirs(os.path.dirname(pth), exist_ok=True)
     make_s3fd_selftest_pth(pth, seed)
     ports.port_s3fd(pth, out_path)
     params = ports.load_s3fd_params(out_path)
@@ -146,7 +147,7 @@ def make_densenet_selftest_pth(pth_path: str, seed: int = 0) -> str:
 
     sd: Dict[str, Any] = {}
 
-    def emit(tree: Dict, stats: bool) -> None:
+    def emit(tree: Dict) -> None:
         for mod, node in tree.items():
             # node is either {leaf: arr} or {sub: {leaf: arr}}
             flat = []
@@ -176,8 +177,8 @@ def make_densenet_selftest_pth(pth_path: str, seed: int = 0) -> str:
                     sd[f"{base}.running_var"] = torch.from_numpy(
                         (0.5 + rng.uniform(0, 1, shape)).astype(np.float32))
 
-    emit(tmpl_p, stats=False)
-    emit(tmpl_s, stats=True)
+    emit(tmpl_p)
+    emit(tmpl_s)
     torch.save(sd, pth_path)
     return pth_path
 
@@ -190,6 +191,7 @@ def selftest_densenet(out_path: str, seed: int = 0) -> Dict[str, Any]:
     from .densenet import DenseNet121
 
     pth = os.path.abspath(out_path.rstrip("/")) + ".selftest_src.pth"
+    os.makedirs(os.path.dirname(pth), exist_ok=True)
     make_densenet_selftest_pth(pth, seed)
     ports.port_densenet(pth, out_path)
     variables = ports.load_densenet_variables(out_path)
@@ -287,8 +289,7 @@ def make_avhubert_selftest_pth(pth_path: str, seed: int = 0,
     sd["final_proj.weight"] = t((embed, embed))
     sd["mask_emb"] = t((embed,), 0.02)
 
-    import torch as _torch
-    _torch.save({"model": sd}, pth_path)
+    torch.save({"model": sd}, pth_path)
     return pth_path
 
 
@@ -299,6 +300,7 @@ def selftest_avhubert(out_path: str, seed: int = 0) -> Dict[str, Any]:
     from . import ports
 
     pth = os.path.abspath(out_path.rstrip("/")) + ".selftest_src.pt"
+    os.makedirs(os.path.dirname(pth), exist_ok=True)
     make_avhubert_selftest_pth(pth, seed)
     params, cfg, skipped = ports.port_avhubert(pth, out_path)
     model, loaded = ports.load_avhubert_expert(out_path)

@@ -164,6 +164,20 @@ def prepare_input_frames(
     return frames, fps
 
 
+def gen_input_prep(frames_f: jax.Array, boxes: jax.Array, img: int):
+    """Crop faces → masked-window + reference 6-ch generator input — the
+    ONE definition of the generator's input prep (reference
+    datagen semantics, inference.py:123-156). Shared by ``lipsync_batch``,
+    the static-int8 calibration pass, and the serving bench so calibrated
+    activation scales can never drift from the program they calibrate."""
+    crops = jax.vmap(
+        lambda f, b: image_ops.crop_and_resize(f, b, (img, img))
+    )(frames_f, boxes)
+    faces = crops / 255.0
+    masked = image_ops.mask_lower_half(faces)
+    return image_ops.concat_reference(masked, faces)
+
+
 def lipsync_batch(
     gen,                         # TalkingFaceGenerator module
     params,
@@ -183,12 +197,7 @@ def lipsync_batch(
     (``generate_frames``) and the serving benchmark so the benched program
     IS the production program."""
     frames_f = frames_u8.astype(jnp.float32)
-    crops = jax.vmap(
-        lambda f, b: image_ops.crop_and_resize(f, b, (img, img))
-    )(frames_f, boxes)
-    faces = crops / 255.0
-    masked = image_ops.mask_lower_half(faces)
-    x = image_ops.concat_reference(masked, faces)  # ref = current frame (inference.py:123-156)
+    x = gen_input_prep(frames_f, boxes, img)  # ref = current frame (inference.py:123-156)
     if int8:
         from ..ops.quant import int8_serving
 
@@ -241,14 +250,9 @@ def generate_frames(
         from ..ops import quant
 
         n_cal = min(pre_cfg.gen_batch_size, num_out)
-        cal_f = jnp.asarray(frames_seq[:n_cal]).astype(jnp.float32)
-        cal_b = jnp.asarray(boxes[:n_cal])
-        crops = jax.vmap(
-            lambda f, bx: image_ops.crop_and_resize(f, bx, (img, img))
-        )(cal_f, cal_b)
-        faces = crops / 255.0
-        x_cal = image_ops.concat_reference(
-            image_ops.mask_lower_half(faces), faces)
+        x_cal = gen_input_prep(
+            jnp.asarray(frames_seq[:n_cal]).astype(jnp.float32),
+            jnp.asarray(boxes[:n_cal]), img)
         mel_cal = jnp.asarray(mel_windows[:n_cal])[..., None]
         act_scales = quant.calibrate_activation_scales(
             lambda m, xx: gen.apply({"params": gen_params}, m, xx),

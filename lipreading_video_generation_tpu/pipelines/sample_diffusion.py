@@ -229,6 +229,14 @@ def sample(
                          "classifier_params")
     if classifier_cfg is not None and class_label is None:
         raise ValueError("classifier guidance needs class_label")
+    if classifier_cfg is not None:
+        lbl = np.asarray(class_label)
+        if lbl.min() < 0 or lbl.max() >= classifier_cfg.num_classes:
+            # jit gathers clamp out-of-range indices silently — guidance
+            # would steer toward the wrong class with no error
+            raise ValueError(
+                f"class_label {class_label} out of range for "
+                f"{classifier_cfg.num_classes}-class classifier")
     mesh_ctx = contextlib.nullcontext()
     b = cond_frame_uint8.shape[0]
     n_pad = 0
@@ -350,6 +358,10 @@ def sample_video(
     eta: float = 0.0,
     mesh_spec=None,
     sampler: str = "ddim",
+    classifier_cfg=None,
+    classifier_params=None,
+    class_label=None,
+    guidance_scale: float = 1.0,
 ) -> jax.Array:
     """Generate a T-frame clip: (T, im_size, im_size, 3) uint8.
 
@@ -369,6 +381,8 @@ def sample_video(
         snapshot_every=cfg.num_timesteps + 1,   # no snapshots needed
         use_ema=use_ema, segment_size=segment_size,
         num_inference_steps=num_inference_steps, eta=eta, mesh_spec=mesh_spec,
-        sampler=sampler,
+        sampler=sampler, classifier_cfg=classifier_cfg,
+        classifier_params=classifier_params, class_label=class_label,
+        guidance_scale=guidance_scale,
     )
     return image_ops.denormalize_to_uint8(x0)  # x0 already in [0,1]

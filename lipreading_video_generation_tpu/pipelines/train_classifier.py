@@ -67,6 +67,11 @@ def create_state(ccfg: ClassifierConfig, dcfg: DiffusionConfig,
 def synthetic_batch(rng: np.random.Generator, ccfg: ClassifierConfig,
                     dcfg: DiffusionConfig) -> Dict[str, np.ndarray]:
     """Class k = bright quadrant k on a dark background (uint8 frames)."""
+    if ccfg.num_classes > 4:
+        raise ValueError(
+            f"synthetic quadrant task supports at most 4 classes, got "
+            f"{ccfg.num_classes} (labels >= 4 would be unlearnable: their "
+            "quadrant slice is empty)")
     b, s = ccfg.batch_size, dcfg.im_size
     labels = rng.integers(0, ccfg.num_classes, (b,))
     imgs = rng.integers(0, 60, (b, s, s, dcfg.im_channels), dtype=np.int64)

@@ -43,11 +43,18 @@ def main() -> int:
         print(out.stderr[-2000:], file=sys.stderr)
         return 1
 
-    backend = "tpu" if "backend=tpu" in out.stderr else "other"
+    # backend comes from the JSON contract (bench.py emits it), not from
+    # parsing the free-form stderr diagnostic — a reformat there must not
+    # fail the gate open
+    backend = parsed.get("backend", "unknown")
     metric = parsed.get("metric")
     value = float(parsed.get("value", 0.0))
     floor, unit = FLOORS.get(metric, (None, None))
 
+    if backend == "unknown":
+        print("bench_gate: bench.py JSON carries no 'backend' field — "
+              "refusing to fail open", file=sys.stderr)
+        return 1
     if backend != "tpu":
         print(f"bench_gate: backend={backend}, floor not enforced "
               f"({metric}={value})")

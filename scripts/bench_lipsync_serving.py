@@ -77,18 +77,16 @@ def main():
 
     act_scales = None
     if args.int8_static:
-        # one-time eager calibration on a representative generator input
-        from lipreading_video_generation_tpu.ops import image as image_ops
+        # one-time eager calibration on a representative generator input,
+        # through the SAME prep the production program uses
         from lipreading_video_generation_tpu.ops.quant import (
             calibrate_activation_scales,
         )
+        from lipreading_video_generation_tpu.pipelines.inference import (
+            gen_input_prep,
+        )
 
-        crops = jax.vmap(
-            lambda f, bx: image_ops.crop_and_resize(f, bx, (img, img))
-        )(frames.astype(jnp.float32), boxes)
-        faces = crops / 255.0
-        x_cal = image_ops.concat_reference(
-            image_ops.mask_lower_half(faces), faces)
+        x_cal = gen_input_prep(frames.astype(jnp.float32), boxes, img)
         act_scales = calibrate_activation_scales(
             lambda m, xx: gen.apply({"params": params}, m, xx),
             [(mels[..., None], x_cal)])

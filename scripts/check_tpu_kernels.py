@@ -60,6 +60,28 @@ def main() -> int:
         tol = 2e-2 if dtype == jnp.bfloat16 else 2e-3
         ok &= check(name, got, want, tol, tol)
 
+    # round-4 production boundary: the diffusion ds=1 shape routes to
+    # block_q=block_k=1024 tiles with d_pad=64 (no lane padding) — both
+    # new paths must compile AND match on hardware UNDER JIT. The dense
+    # reference at 16384² would materialize a 1 GB score matrix, so the
+    # oracle is the checkpointed blockwise-XLA implementation.
+    from lipreading_video_generation_tpu.ops.attention import (
+        _blockwise_attention_xla,
+    )
+
+    for name, (b, h, s, d), dtype in [
+        ("fwd bf16 s=16384 d=64 (block1024/dpad64)", (1, 1, 16384, 64), jnp.bfloat16),
+        ("fwd f32 s=8192 d=64 (block1024/dpad64)", (1, 1, 8192, 64), jnp.float32),
+    ]:
+        q = jnp.asarray(rng.standard_normal((b, h, s, d)), dtype)
+        k = jnp.asarray(rng.standard_normal((b, h, s, d)), dtype)
+        v = jnp.asarray(rng.standard_normal((b, h, s, d)), dtype)
+        got = jax.jit(lambda a, b_, c: flash_attention(a, b_, c,
+                                                       interpret=False))(q, k, v)
+        want = _blockwise_attention_xla(q, k, v, False, d ** -0.5)
+        tol = 2e-2 if dtype == jnp.bfloat16 else 2e-3
+        ok &= check(name, got, want, tol, tol)
+
     # backward: compiled Pallas dq/dk/dv vs dense-reference autodiff
     for name, (b, h, s, d), causal in [
         ("bwd f32 s=512", (1, 4, 512, 64), False),
@@ -80,6 +102,24 @@ def main() -> int:
             argnums=(0, 1, 2)))(q, k, v)
         for gi, (a_, b_) in zip("qkv", zip(g1, g2)):
             ok &= check(f"{name} d{gi}", a_, b_, 2e-3, 2e-3)
+
+    # backward at the round-4 tile config (1024-token blocks, d_pad=64):
+    # memory-bounded oracle = autodiff through the checkpointed blockwise
+    # XLA scan (identical math, no 16k² score matrix)
+    q = jnp.asarray(rng.standard_normal((1, 1, 4096, 64)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 1, 4096, 64)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 1, 4096, 64)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((1, 1, 4096, 64)), jnp.float32)
+    g1 = jax.jit(jax.grad(
+        lambda a, b_, c: jnp.sum(w * flash_attention(
+            a, b_, c, block_q=1024, block_k=1024, interpret=False)),
+        argnums=(0, 1, 2)))(q, k, v)
+    g2 = jax.jit(jax.grad(
+        lambda a, b_, c: jnp.sum(w * _blockwise_attention_xla(
+            a, b_, c, False, 64 ** -0.5)),
+        argnums=(0, 1, 2)))(q, k, v)
+    for gi, (a_, b_) in zip("qkv", zip(g1, g2)):
+        ok &= check(f"bwd f32 s=4096 block1024/dpad64 d{gi}", a_, b_, 2e-3, 2e-3)
 
     # CLAHE: the compiled Mosaic kernel vs the XLA blended-LUT reference.
     # Interpret mode can't catch lowering-legality bugs (a float iota once

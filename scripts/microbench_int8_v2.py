@@ -4,54 +4,39 @@ The round-3 harness (microbench_int8.py) repeated `fn(*args)` inside a
 fori_loop whose carry only consumed the output — the operand never
 depended on the carry, so XLA hoisted the single matmul out of the loop
 and both dtypes measured fixed dispatch overhead. That invalidates the
-round-3 conclusion ("int8 ties bf16"). Here every iteration's operand is
-perturbed by the previous iteration's result, forcing K real executions.
+round-3 conclusion ("int8 ties bf16"). This version uses the canonical
+chained/two-K harness (scripts/bench_harness.py).
+
+Measured round 4 (v5e): matmul 4096³ bf16 204.9 TFLOP/s vs int8 391.5
+TOP/s (1.91×); conv3×3 b256 48²×128 1.95× — the datasheet 2× int8 MXU
+mode IS real through plain XLA.
 
 Run: python scripts/microbench_int8_v2.py
 """
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
+from bench_harness import timed_chained
+
 K1, K2 = 8, 40
 
 
-def timed(name, fn, a, b, perturb, flops):
-    """(t_K2 - t_K1)/(K2 - K1): differencing cancels dispatch/RTT;
-    `perturb(a, carry)` must make iteration i+1's operand depend on
-    iteration i's output."""
-    def make(K):
-        @jax.jit
-        def rep(karg, a, b):
-            def body(i, carry):
-                out = fn(perturb(a, carry), b)
-                # consume EVERY output element (a single-element read lets
-                # XLA DCE the rest of the matmul into one dot product)
-                s = jnp.sum(out.astype(jnp.float32))
-                return (jnp.isfinite(s) & (s != 1.2345)).astype(jnp.int32)
-            return jax.lax.fori_loop(0, K, body, karg)
-        return rep
+def timed(name, fn, a, b, flops):
+    dt_ms = timed_chained(name, fn, a, b, k1=K1, k2=K2, verbose=False)
+    print(f"{name}: {dt_ms:.3f} ms/op  {flops / (dt_ms / 1e3) / 1e12:.1f} "
+          f"T(FL)OP/s", flush=True)
+    return dt_ms
 
-    r1, r2 = make(K1), make(K2)
-    _ = int(r1(jnp.int32(0), a, b)); _ = int(r2(jnp.int32(0), a, b))
-    ts = []
-    for rep in (r1, r2):
-        best = 1e9
-        for it in range(3):
-            t0 = time.perf_counter()
-            _ = int(rep(jnp.int32(it + 1), a, b))
-            best = min(best, time.perf_counter() - t0)
-        ts.append(best)
-    dt = (ts[1] - ts[0]) / (K2 - K1)
-    print(f"{name}: {dt * 1e3:.3f} ms/op  {flops / dt / 1e12:.1f} T(FL)OP/s",
-          flush=True)
-    return dt
+
+def _f(carry, dtype):
+    return (carry.astype(jnp.int32) % 2).astype(dtype)
 
 
 def main():
@@ -65,20 +50,16 @@ def main():
 
     t_bf16 = timed(
         "matmul bf16 4096^3",
-        lambda a, b: jax.lax.dot_general(
-            a, b, (((1,), (0,)), ((), ())),
+        lambda a, b, c: jax.lax.dot_general(
+            a + _f(c, jnp.bfloat16), b, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32),
-        a16, b16,
-        perturb=lambda a, c: a + (c % 2).astype(jnp.bfloat16),
-        flops=fl)
+        a16, b16, fl)
     t_int8 = timed(
         "matmul int8->int32 4096^3",
-        lambda a, b: jax.lax.dot_general(
-            a, b, (((1,), (0,)), ((), ())),
+        lambda a, b, c: jax.lax.dot_general(
+            a ^ _f(c, jnp.int8), b, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32),
-        a8, b8,
-        perturb=lambda a, c: a ^ (c % 2).astype(jnp.int8),
-        flops=fl)
+        a8, b8, fl)
     print(f"int8 speedup over bf16: {t_bf16 / t_int8:.2f}x", flush=True)
 
     # conv, generator-like shape
@@ -91,22 +72,18 @@ def main():
 
     tc16 = timed(
         "conv3x3 bf16 b256 48x48x128",
-        lambda x, w: jax.lax.conv_general_dilated(
-            x, w, (1, 1), "SAME",
+        lambda x, w, c: jax.lax.conv_general_dilated(
+            x + _f(c, jnp.bfloat16), w, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32),
-        x16, w16,
-        perturb=lambda x, c: x + (c % 2).astype(jnp.bfloat16),
-        flops=flc)
+        x16, w16, flc)
     tc8 = timed(
         "conv3x3 int8->int32 b256 48x48x128",
-        lambda x, w: jax.lax.conv_general_dilated(
-            x, w, (1, 1), "SAME",
+        lambda x, w, c: jax.lax.conv_general_dilated(
+            x ^ _f(c, jnp.int8), w, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.int32),
-        x8, w8,
-        perturb=lambda x, c: x ^ (c % 2).astype(jnp.int8),
-        flops=flc)
+        x8, w8, flc)
     print(f"conv int8 speedup over bf16: {tc16 / tc8:.2f}x", flush=True)
 
 

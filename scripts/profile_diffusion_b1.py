@@ -4,53 +4,22 @@ variants (block sizes, d-padding policy) to find the 100-steps/s path.
 Relay-proof: K reps chained in one jit, one host fetch."""
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+from bench_harness import timed_chained as timed  # the canonical harness
 
 from lipreading_video_generation_tpu.core.config import DiffusionConfig
 from lipreading_video_generation_tpu.models.unet_audio import UNetAudio
 from lipreading_video_generation_tpu.ops import attention as att
 from lipreading_video_generation_tpu.pipelines import train_diffusion
 
-K1, K2 = 4, 24
 rng = np.random.default_rng(0)
-
-
-def timed(name, fn, *args):
-    """Two-K differencing: time K1 and K2 in-jit reps and report
-    (t2 - t1)/(K2 - K1) — cancels the fixed dispatch/RTT cost that made a
-    single-K measurement read ~2.5 ms for every shape regardless of FLOPs."""
-    def make(K):
-        @jax.jit
-        def rep(karg, *args):
-            # TRUE chaining: the op's own output perturbs its next input —
-            # `x + i*0` constant-folds and XLA hoists the whole op out of
-            # the loop (measured: flat times across K before this fix).
-            def body(i, carry):
-                out = fn(*args, carry)
-                return carry * 0.5 + jnp.max(jnp.abs(out.astype(jnp.float32))) * 1e-9
-            return jax.lax.fori_loop(0, K, body, jnp.float32(0.0) + karg * 0.0)
-        return rep
-
-    r1, r2 = make(K1), make(K2)
-    _ = float(r1(jnp.int32(0), *args)); _ = float(r2(jnp.int32(0), *args))
-    ts = []
-    for rep, K in ((r1, K1), (r2, K2)):
-        best = 1e9
-        for it in range(3):
-            t0 = time.perf_counter()
-            _ = float(rep(jnp.int32(it + 1), *args))
-            best = min(best, time.perf_counter() - t0)
-        ts.append(best)
-    dt = (ts[1] - ts[0]) / (K2 - K1) * 1000
-    print(f"{name}: {dt:.3f} ms  (t{K1}={ts[0]*1e3:.1f} t{K2}={ts[1]*1e3:.1f})",
-          flush=True)
-    return dt
 
 
 # ---- attention at the three production shapes (bf16, like the model) ----

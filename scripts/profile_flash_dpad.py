@@ -3,43 +3,19 @@
 block sweep, plus correctness check vs the einsum reference."""
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
+from bench_harness import timed_chained as timed  # the canonical harness
+
 from lipreading_video_generation_tpu.ops import attention as att
 
-K1, K2 = 4, 24
 rng = np.random.default_rng(0)
-
-
-def timed(name, fn, *args):
-    def make(K):
-        @jax.jit
-        def rep(karg, *args):
-            def body(i, carry):
-                out = fn(*args, carry)
-                return carry * 0.5 + jnp.max(jnp.abs(out.astype(jnp.float32))) * 1e-9
-            return jax.lax.fori_loop(0, K, body, jnp.float32(0.0) + karg * 0.0)
-        return rep
-
-    r1, r2 = make(K1), make(K2)
-    _ = float(r1(jnp.int32(0), *args)); _ = float(r2(jnp.int32(0), *args))
-    ts = []
-    for rep, K in ((r1, K1), (r2, K2)):
-        best = 1e9
-        for it in range(3):
-            t0 = time.perf_counter()
-            _ = float(rep(jnp.int32(it + 1), *args))
-            best = min(best, time.perf_counter() - t0)
-        ts.append(best)
-    dt = (ts[1] - ts[0]) / (K2 - K1) * 1000
-    print(f"{name}: {dt:.3f} ms", flush=True)
-    return dt
 
 
 import functools

@@ -140,3 +140,17 @@ def test_guidance_arg_validation(clf_state):
     with pytest.raises(ValueError, match="both"):
         sample_diffusion.sample(
             dstate, cond, audio, jax.random.key(0), DCFG, classifier_cfg=CCFG)
+
+
+def test_sample_video_accepts_guidance(clf_state):
+    """The whole-clip path (sample_video) forwards classifier guidance."""
+    dstate = train_diffusion.create_state(DCFG, jax.random.key(3))
+    rng = np.random.default_rng(8)
+    cond = jnp.asarray(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8))
+    windows = jnp.asarray(rng.standard_normal((2, 800)).astype(np.float32))
+    clip = sample_diffusion.sample_video(
+        dstate, cond, windows, jax.random.key(9), DCFG,
+        num_inference_steps=4,
+        classifier_cfg=CCFG, classifier_params=clf_state.params,
+        class_label=1, guidance_scale=5.0)
+    assert clip.shape == (2, 16, 16, 3) and clip.dtype == np.uint8
