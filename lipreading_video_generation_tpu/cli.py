@@ -102,6 +102,24 @@ def main(argv: List[str] | None = None) -> int:
     p.add_argument("--pos-conv-groups", type=int, default=None,
                    help="conv positional-embedding groups (default 16)")
 
+    p = _base_parser(sub, "port-wav2vec2",
+                     "port an HF wav2vec2 state_dict (the reference's "
+                     "facebook/wav2vec2-base-960h diffusion audio "
+                     "conditioning) to Orbax params")
+    p.add_argument("--pth", default=None,
+                   help="HF checkpoint (.pth/.bin torch state_dict): bare "
+                        "Wav2Vec2Model or the Wav2Vec2ForCTC wrapper "
+                        "-base-960h ships as")
+    p.add_argument("--selftest", action="store_true", help=selftest_help)
+    p.add_argument("--out", required=True, help="Orbax artifact path "
+                   "(feed to train-diffusion --wav2vec2-checkpoint)")
+    p.add_argument("--num-heads", type=int, default=None,
+                   help="attention heads (not recoverable from tensor "
+                        "shapes; default embed_dim // 64)")
+    p.add_argument("--pos-conv-groups", type=int, default=None,
+                   help="conv positional-embedding groups (default read "
+                        "off the grouped-conv weight shape)")
+
     p = _base_parser(sub, "preprocess-gan", "videos → face crops + wav (offline)")
     p.add_argument("--data-root", required=True)
     p.add_argument("--out", required=True)
@@ -231,6 +249,12 @@ def main(argv: List[str] | None = None) -> int:
     p.add_argument("--steps-per-dispatch", type=int, default=4,
                    help="train steps scanned per device program")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--wav2vec2-checkpoint", default=None,
+                   help="ported wav2vec2 encoder (port-wav2vec2 --out): "
+                        "start the audio conditioning from the reference's "
+                        "pretrained facebook/wav2vec2-base-960h weights; "
+                        "sets diffusion.audio_encoder=wav2vec2 + dims from "
+                        "the artifact's config sidecar")
 
     p = _base_parser(sub, "train-landmark",
                      "train the lip-landmark regressor (MediaPipe-parity mouth crops)")
@@ -287,7 +311,29 @@ def main(argv: List[str] | None = None) -> int:
                    help="class to guide toward (with --classifier-checkpoint)")
     p.add_argument("--guidance-scale", type=float, default=2.0,
                    help="classifier-guidance strength s")
+    p.add_argument("--sr-checkpoint", default=None,
+                   help="train-superres checkpoint: two-stage cascade — "
+                        "base model samples at superres.low_size (set "
+                        "--set diffusion.im_size=64 to match), the "
+                        "SuperResModel stage lifts to superres.im_size "
+                        "(reference unet.py:678-693, never driven there)")
+    p.add_argument("--sr-steps", type=int, default=None,
+                   help="DDIM steps for the SR stage (default "
+                        "superres.sr_inference_steps)")
     p.add_argument("--out", required=True)
+
+    p = _base_parser(sub, "train-superres",
+                     "train the SuperResModel diffusion SR stage "
+                     "(low_size → im_size cascade; reference defines the "
+                     "model at unet.py:678-693 but never drives it)")
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--frame-index", default=None,
+                   help="diffusion FrameItem index for real frames; "
+                        "omit for synthetic")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=500)
+    p.add_argument("--steps-per-dispatch", type=int, default=4)
+    p.add_argument("--synthetic", action="store_true")
 
     p = _base_parser(sub, "train-noisy-classifier",
                      "train the EncoderUNetModel classifier on q-sampled "
@@ -337,7 +383,8 @@ def main(argv: List[str] | None = None) -> int:
         parser.error(str(e))
     _enable_compile_cache()
 
-    if args.cmd in ("port-s3fd", "port-densenet", "port-avhubert"):
+    if args.cmd in ("port-s3fd", "port-densenet", "port-avhubert",
+                    "port-wav2vec2"):
         if bool(args.selftest) == bool(args.pth):
             parser.error(f"{args.cmd}: give exactly one of --pth or --selftest")
 
@@ -387,6 +434,25 @@ def main(argv: List[str] | None = None) -> int:
         print(f"ported AV-HuBERT video encoder → {args.out} "
               f"(embed {pcfg['embed_dim']}, {pcfg['num_layers']} layers, "
               f"{len(skipped)} non-video keys skipped)")
+        return 0
+
+    if args.cmd == "port-wav2vec2":
+        if args.selftest:
+            import json
+
+            from .models.selftest import selftest_wav2vec2
+
+            print(json.dumps(
+                {"selftest": "port-wav2vec2", **selftest_wav2vec2(args.out)}))
+            return 0
+        from .models.ports import port_wav2vec2
+
+        _, pcfg, skipped = port_wav2vec2(args.pth, args.out,
+                                         num_heads=args.num_heads,
+                                         pos_conv_groups=args.pos_conv_groups)
+        print(f"ported wav2vec2 encoder → {args.out} "
+              f"(embed {pcfg['embed_dim']}, {pcfg['num_layers']} layers, "
+              f"{len(skipped)} non-encoder keys skipped)")
         return 0
 
     if args.cmd == "preprocess-gan":
@@ -680,6 +746,18 @@ def main(argv: List[str] | None = None) -> int:
         from .pipelines import train_diffusion
 
         d = cfg.diffusion
+        if getattr(args, "wav2vec2_checkpoint", None):
+            import json as _json
+            import os as _os
+
+            from .models.ports import diffusion_cfg_with_wav2vec2
+
+            with open(_os.path.join(_os.path.abspath(args.wav2vec2_checkpoint),
+                                    "wav2vec2.config.json")) as f:
+                w2v_cfg = {k: (tuple(v) if isinstance(v, list) else v)
+                           for k, v in _json.load(f).items()}
+            d = diffusion_cfg_with_wav2vec2(d, w2v_cfg)
+            cfg = replace(cfg, diffusion=d)
         if getattr(args, "records_root", None) is not None:
             from .data.records import iter_record_batches
 
@@ -720,6 +798,7 @@ def main(argv: List[str] | None = None) -> int:
             steps_per_dispatch=args.steps_per_dispatch,
             eval_batch_fn=batch_fn,          # held-out pull from the feed
             eval_every=args.checkpoint_every,
+            wav2vec2_checkpoint=getattr(args, "wav2vec2_checkpoint", None),
         )
         return 0
 
@@ -769,6 +848,24 @@ def main(argv: List[str] | None = None) -> int:
                 class_label=args.class_label,
                 guidance_scale=args.guidance_scale,
             )
+        sr_params = None
+        if args.sr_checkpoint:
+            from .pipelines import train_superres
+
+            if d.im_size != cfg.superres.low_size:
+                parser.error(
+                    f"cascade mismatch: diffusion.im_size {d.im_size} != "
+                    f"superres.low_size {cfg.superres.low_size} (set "
+                    "--set diffusion.im_size=64 or superres.low_size)")
+            sr_params = train_superres.load_sr_params(
+                args.sr_checkpoint, cfg.superres, use_ema=not args.no_ema)
+
+        def apply_sr(x01):
+            # second cascade stage: [0,1] base samples → [0,1] high-res
+            return sample_diffusion.sample_superres(
+                sr_params, x01, jax.random.key(cfg.seed + 1), cfg.superres,
+                num_inference_steps=args.sr_steps)
+
         fps = args.fps
         if args.frames > 1:
             # whole-clip generation: one batched trajectory over sliding
@@ -795,6 +892,10 @@ def main(argv: List[str] | None = None) -> int:
                 mesh_spec=build_mesh(cfg.mesh),   # frames shard over the chips
                 **guidance_kw,
             ))
+            if sr_params is not None:
+                clip = np.asarray(
+                    apply_sr(jnp.asarray(clip).astype(np.float32) / 255.0)
+                    * 255).astype(np.uint8)
             if args.out.endswith((".mp4", ".avi")):
                 video_io.write_video(args.out, clip, fps=fps)
             else:
@@ -823,11 +924,41 @@ def main(argv: List[str] | None = None) -> int:
             state, cond, audio, jax.random.key(cfg.seed), d,
             num_inference_steps=args.ddim_steps, eta=args.eta,
             sampler=args.sampler, **guidance_kw)
+        if sr_params is not None:
+            x0 = apply_sr(x0)
         import cv2
 
         img = np.asarray((x0[0] * 255)).astype(np.uint8)
         cv2.imwrite(args.out, img[:, :, ::-1])
         print(f"wrote {args.out} (+{snaps.shape[0]} snapshots available)")
+        return 0
+
+    if args.cmd == "train-superres":
+        from .core.metrics import ConsoleWriter, Metrics
+        from .pipelines import train_superres
+
+        s = cfg.superres
+        if args.synthetic or not args.frame_index:
+            rng = np.random.default_rng(cfg.seed)
+            batch_fn = lambda: {  # noqa: E731
+                "target_frame": rng.integers(
+                    0, 256, (s.batch_size, s.im_size, s.im_size, 3),
+                    dtype=np.uint8)}
+        else:
+            from .data.datasets import DiffusionPairSampler, load_frame_index
+
+            items = load_frame_index(args.frame_index)
+            sampler = DiffusionPairSampler(items, cfg.diffusion.audio_samples,
+                                           cfg.diffusion.buffer_frames)
+            batch_fn = lambda: {  # noqa: E731
+                "target_frame": sampler.sample_batch(s.batch_size)["target_frame"]}
+        train_superres.train(
+            s, batch_fn, num_steps=args.steps, seed=cfg.seed,
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=args.checkpoint_every,
+            metrics_writer=Metrics(ConsoleWriter(every=10)),
+            steps_per_dispatch=args.steps_per_dispatch,
+        )
         return 0
 
     if args.cmd == "train-noisy-classifier":

@@ -132,6 +132,23 @@ class DiffusionConfig:
     im_cond_channels: int = 64
     audio_samples: int = 4000    # dataset.py:125
     buffer_frames: int = 5
+    # Audio-encoder architecture: "native" = the from-scratch
+    # AudioFeatureEncoder (log-mel + conv + transformer); "wav2vec2" = the
+    # Flax Wav2Vec2Encoder (models/wav2vec2.py) whose weights port from the
+    # reference's pretrained facebook/wav2vec2-base-960h via port-wav2vec2
+    # (unet_audio.py:11-14). Both are trainable inside UNetAudio — the
+    # reference trains its wav2vec2 jointly too.
+    audio_encoder: str = "native"   # native | wav2vec2
+    # downscaled Wav2Vec2Encoder knobs (selftests / CPU-tier parity); the
+    # defaults are the base model the reference loads
+    w2v_num_layers: int = 12
+    w2v_ffn_dim: int = 3072
+    w2v_num_heads: int = 12
+    w2v_conv_dim: Tuple[int, ...] = (512, 512, 512, 512, 512, 512, 512)
+    w2v_conv_kernel: Tuple[int, ...] = (10, 3, 3, 3, 3, 2, 2)
+    w2v_conv_stride: Tuple[int, ...] = (5, 2, 2, 2, 2, 2, 2)
+    w2v_pos_conv_kernel: int = 128
+    w2v_pos_conv_groups: int = 16
     # training
     batch_size: int = 8
     learning_rate: float = 1e-4  # the reference's 1e-2 (train.py:102) diverges; 1e-4 is the sane default
@@ -174,6 +191,39 @@ class ClassifierConfig:
     batch_size: int = 32
     learning_rate: float = 3e-4
     dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class SuperResConfig:
+    """Diffusion super-resolution stage — the ``SuperResModel`` driver
+    (reference: video-generation/diffusion/unet.py:678-693, defined but
+    never driven). Trains a U-Net to denoise a high-res frame conditioned
+    on its bilinearly-upsampled low-res version (channel concat); serving
+    is the two-stage cascade ``sample-diffusion --sr-checkpoint``: base
+    model samples at ``low_size``, this stage lifts to ``im_size``. The
+    noise schedule fields mirror DiffusionConfig (one schedule per stage)."""
+
+    im_size: int = 128           # high-res output
+    low_size: int = 64           # base-stage / conditioning resolution
+    im_channels: int = 3
+    num_timesteps: int = 500
+    beta_start: float = 5e-5
+    beta_end: float = 0.015
+    scheduler: str = "linear"
+    base_channels: int = 48
+    channel_mult: Tuple[int, ...] = (1, 2, 4)
+    num_res_blocks: int = 2
+    attention_resolutions: Tuple[int, ...] = (4,)
+    num_heads: int = 1
+    time_embed_dim: int = 192
+    dropout: float = 0.0
+    # training
+    batch_size: int = 8
+    learning_rate: float = 1e-4
+    dtype: str = "bfloat16"
+    # degradation used to synthesize (low, high) pairs in training: the
+    # low-res input is the area-downsampled target (the standard SR pair)
+    sr_inference_steps: int = 50  # few-step DDIM default for the SR stage
 
 
 @dataclass(frozen=True)
@@ -267,6 +317,7 @@ class Config:
     gan: GanConfig = field(default_factory=GanConfig)
     diffusion: DiffusionConfig = field(default_factory=DiffusionConfig)
     classifier: ClassifierConfig = field(default_factory=ClassifierConfig)
+    superres: SuperResConfig = field(default_factory=SuperResConfig)
     vivit: ViViTConfig = field(default_factory=ViViTConfig)
     feature_transformer: FeatureTransformerConfig = field(default_factory=FeatureTransformerConfig)
     sentence_eval: SentenceEvalConfig = field(default_factory=SentenceEvalConfig)

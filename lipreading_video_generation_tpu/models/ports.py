@@ -268,6 +268,99 @@ def port_avhubert(pth_path: str, out_path: str,
     return params, cfg, skipped
 
 
+# --------------------------------------------------------------------------
+# Wav2Vec2 (the reference's pretrained diffusion audio conditioning)
+# --------------------------------------------------------------------------
+
+def _wav2vec2_template(cfg: Dict[str, Any]):
+    """(model, abstract params tree) — eval_shape only (base is ~95M)."""
+    import jax.numpy as jnp
+
+    from .wav2vec2 import Wav2Vec2Encoder
+
+    model = Wav2Vec2Encoder(**{k: (tuple(v) if isinstance(v, list) else v)
+                               for k, v in cfg.items()})
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), jnp.zeros((1, 4000), jnp.float32)))
+    return model, shapes["params"]
+
+
+def port_wav2vec2(pth_path: str, out_path: str,
+                  num_heads: Optional[int] = None,
+                  pos_conv_groups: Optional[int] = None):
+    """HF wav2vec2 ``.pth``/``.bin`` state_dict (``Wav2Vec2Model`` or the
+    ``Wav2Vec2ForCTC`` wrapper facebook/wav2vec2-base-960h ships as) →
+    Orbax artifact + config sidecar. Returns (params, config, skipped).
+
+    Reference surface: video-generation/diffusion/unet_audio.py:11-14 —
+    the pretrained encoder the diffusion conditioning is built on."""
+    import json
+
+    from ..core.checkpoint import save_once
+    from .wav2vec2 import convert_wav2vec2_state_dict
+
+    sd = _load_torch_state_dict(pth_path)
+    params, cfg, skipped = convert_wav2vec2_state_dict(
+        sd, num_heads=num_heads, pos_conv_groups=pos_conv_groups)
+    _, tmpl = _wav2vec2_template(cfg)
+    _validate_against_init(params, tmpl)
+    save_once(out_path, {"wav2vec2": params})
+    with open(os.path.join(os.path.abspath(out_path),
+                           "wav2vec2.config.json"), "w") as f:
+        json.dump({k: list(v) if isinstance(v, tuple) else v
+                   for k, v in cfg.items()}, f)
+    return params, cfg, skipped
+
+
+def load_wav2vec2_params(checkpoint_path: str) -> Tuple[Any, Dict[str, Any]]:
+    """Load a ``port-wav2vec2 --out`` artifact → (params, config)."""
+    import json
+
+    from ..core.checkpoint import load_once
+
+    with open(os.path.join(os.path.abspath(checkpoint_path),
+                           "wav2vec2.config.json")) as f:
+        cfg = {k: (tuple(v) if isinstance(v, list) else v)
+               for k, v in json.load(f).items()}
+    _, tmpl = _wav2vec2_template(cfg)
+    params = load_once(checkpoint_path, {"wav2vec2": tmpl})["wav2vec2"]
+    return params, cfg
+
+
+def diffusion_cfg_with_wav2vec2(diff_cfg: Any, w2v_cfg: Dict[str, Any]) -> Any:
+    """DiffusionConfig rewritten so ``UNetAudio``'s audio-encoder submodule
+    matches a ported wav2vec2's architecture exactly (the graft target
+    template). Used by ``train-diffusion --wav2vec2-checkpoint``."""
+    import dataclasses
+
+    return dataclasses.replace(
+        diff_cfg,
+        audio_encoder="wav2vec2",
+        audio_embed_dim=w2v_cfg["embed_dim"],
+        w2v_num_layers=w2v_cfg["num_layers"],
+        w2v_num_heads=w2v_cfg["num_heads"],
+        w2v_ffn_dim=w2v_cfg["ffn_dim"],
+        w2v_conv_dim=tuple(w2v_cfg["conv_dim"]),
+        w2v_conv_kernel=tuple(w2v_cfg["conv_kernel"]),
+        w2v_conv_stride=tuple(w2v_cfg["conv_stride"]),
+        w2v_pos_conv_kernel=w2v_cfg["pos_conv_kernel"],
+        w2v_pos_conv_groups=w2v_cfg["pos_conv_groups"],
+    )
+
+
+def graft_wav2vec2_into_diffusion(diff_params: Any, w2v_params: Any) -> Any:
+    """Replace a ``UNetAudio`` state's ``audio_encoder`` subtree with ported
+    wav2vec2 weights — the train-diffusion init path for
+    ``--wav2vec2-checkpoint`` (requires DiffusionConfig(audio_encoder=
+    "wav2vec2") so the subtree shapes line up; validated here)."""
+    if "audio_encoder" not in diff_params:
+        raise ValueError("diffusion params carry no audio_encoder subtree")
+    _validate_against_init(w2v_params, diff_params["audio_encoder"])
+    out = dict(diff_params)
+    out["audio_encoder"] = w2v_params
+    return out
+
+
 def load_avhubert_expert(checkpoint_path: str):
     """Load a ``port-avhubert --out`` artifact → (model, params) — drops
     into ``train-gan`` as the frozen feature-matching lipreading expert

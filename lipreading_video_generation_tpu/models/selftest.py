@@ -293,6 +293,103 @@ def make_avhubert_selftest_pth(pth_path: str, seed: int = 0,
     return pth_path
 
 
+def make_wav2vec2_selftest_pth(pth_path: str, seed: int = 0):
+    """Write a REAL HF checkpoint: a small ``Wav2Vec2ForCTC`` built with
+    the in-env ``transformers`` (the same class facebook/wav2vec2-base-960h
+    serializes — ``wav2vec2.``-prefixed encoder keys + ``lm_head``), saved
+    with ``torch.save``. Returns (path, the live torch model) so the caller
+    can pin ported outputs against the genuine HF forward — a stronger
+    in-env demonstration than seeded-stat layouts."""
+    import torch
+    from transformers import Wav2Vec2Config, Wav2Vec2ForCTC
+
+    torch.manual_seed(seed)
+    hf_cfg = Wav2Vec2Config(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=128, conv_dim=(24, 24, 24), conv_kernel=(10, 3, 3),
+        conv_stride=(5, 2, 2), num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, do_stable_layer_norm=False,
+        feat_extract_norm="group", conv_bias=False, hidden_dropout=0.0,
+        attention_dropout=0.0, feat_proj_dropout=0.0, layerdrop=0.0,
+        vocab_size=32)
+    model = Wav2Vec2ForCTC(hf_cfg).eval()
+    torch.save(model.state_dict(), pth_path)
+    return pth_path, model
+
+
+def selftest_wav2vec2(out_path: str, seed: int = 0) -> Dict[str, Any]:
+    """HF .pth → port-wav2vec2 → load → graft into UNetAudio → the full
+    diffusion conditioning path (encode_condition + one denoise step), with
+    the ported encoder's features pinned against the live HF forward."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from ..core.config import DiffusionConfig
+    from . import ports
+    from .unet_audio import UNetAudio
+
+    pth = os.path.abspath(out_path.rstrip("/")) + ".selftest_src.pth"
+    os.makedirs(os.path.dirname(pth), exist_ok=True)
+    _, hf_model = make_wav2vec2_selftest_pth(pth, seed)
+    # 64-wide model: heads not recoverable from shapes (default would be 1)
+    ports.port_wav2vec2(pth, out_path, num_heads=4)
+    w2v_params, w2v_cfg = ports.load_wav2vec2_params(out_path)
+
+    # parity of the ported encoder vs the genuine HF forward
+    rng = np.random.default_rng(seed + 1)
+    wave = rng.standard_normal((2, 1600)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf_model.wav2vec2(torch.from_numpy(wave)).last_hidden_state.numpy()
+    model, _ = ports._wav2vec2_template(w2v_cfg)
+    # pin full f32 matmul precision for the parity check: on TPU the
+    # default contracts at bf16 grade, which is rounding noise (~1e-2),
+    # not a layout error — the thing this check exists to catch
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(model.apply({"params": w2v_params}, jnp.asarray(wave)))
+    err = float(np.abs(got - ref).max())
+    if err > 5e-3:
+        raise RuntimeError(
+            f"port selftest FAILED: ported wav2vec2 diverges from the HF "
+            f"forward (max abs err {err:.2e})")
+
+    # the serving surface: graft into UNetAudio and run the conditioning +
+    # denoise path the diffusion sampler drives
+    cfg = ports.diffusion_cfg_with_wav2vec2(
+        DiffusionConfig(im_size=16, base_channels=32, channel_mult=(1, 2),
+                        num_res_blocks=1, attention_resolutions=(2,),
+                        num_heads=2, time_embed_dim=64, audio_proj_dim=16,
+                        im_cond_channels=8, audio_samples=1600,
+                        num_timesteps=10, dtype="float32"),
+        w2v_cfg)
+    unet = UNetAudio(cfg)
+    variables = unet.init(jax.random.key(seed),
+                          jnp.zeros((1, 16, 16, 3)),
+                          jnp.zeros((1, 16, 16, 3)),
+                          jnp.zeros((1, cfg.audio_samples)),
+                          jnp.zeros((1,), jnp.int32))
+    grafted = ports.graft_wav2vec2_into_diffusion(
+        dict(variables["params"]), w2v_params)
+    cond = unet.apply({"params": grafted}, jnp.asarray(wave[:1]),
+                      jnp.zeros((1, 16, 16, 3)),
+                      method=UNetAudio.encode_condition)
+    eps = unet.apply({"params": grafted}, jnp.zeros((1, 16, 16, 3)),
+                     cond, jnp.zeros((1,), jnp.int32),
+                     method=UNetAudio.denoise)
+    if not (np.all(np.isfinite(np.asarray(cond)))
+            and np.all(np.isfinite(np.asarray(eps)))):
+        raise RuntimeError("port selftest FAILED: non-finite conditioning "
+                           "or denoise output")
+    return {
+        "pth": pth, "pth_sha256": _sha256(pth), "artifact": out_path,
+        "config": {k: (list(v) if isinstance(v, tuple) else v)
+                   for k, v in w2v_cfg.items()},
+        "hf_parity_max_abs_err": err,
+        "cond_map_shape": list(np.shape(cond)),
+        "eps_shape": list(np.shape(eps)),
+    }
+
+
 def selftest_avhubert(out_path: str, seed: int = 0) -> Dict[str, Any]:
     """fairseq .pt → port-avhubert → load → encoder features on video."""
     import jax.numpy as jnp

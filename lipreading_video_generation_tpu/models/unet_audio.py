@@ -30,7 +30,25 @@ class UNetAudio(nn.Module):
     def setup(self):
         c = self.cfg
         dtype = jnp.dtype(c.dtype)
-        self.audio_encoder = AudioFeatureEncoder(embed_dim=c.audio_embed_dim, dtype=dtype)
+        if c.audio_encoder == "wav2vec2":
+            # the weight-portable reference encoder (models/wav2vec2.py;
+            # port-wav2vec2 grafts facebook/wav2vec2-base-960h weights into
+            # this submodule — unet_audio.py:11-14)
+            from .wav2vec2 import Wav2Vec2Encoder
+
+            self.audio_encoder = Wav2Vec2Encoder(
+                embed_dim=c.audio_embed_dim, num_layers=c.w2v_num_layers,
+                ffn_dim=c.w2v_ffn_dim, num_heads=c.w2v_num_heads,
+                conv_dim=c.w2v_conv_dim, conv_kernel=c.w2v_conv_kernel,
+                conv_stride=c.w2v_conv_stride,
+                pos_conv_kernel=c.w2v_pos_conv_kernel,
+                pos_conv_groups=c.w2v_pos_conv_groups, dtype=dtype)
+        elif c.audio_encoder == "native":
+            self.audio_encoder = AudioFeatureEncoder(
+                embed_dim=c.audio_embed_dim, dtype=dtype)
+        else:
+            raise ValueError(f"unknown audio_encoder {c.audio_encoder!r} "
+                             "(native | wav2vec2)")
         self.audio_proj = nn.Dense(c.audio_proj_dim, dtype=jnp.float32)
         self.im_cond_conv = nn.Conv(c.im_cond_channels, (1, 1), dtype=jnp.float32)
         self.unet = UNetModel(

@@ -576,6 +576,11 @@ def _small_mha_kernel(q_ref, k_ref, v_ref, rh_ref, ch_ref, cp_ref, rp_ref,
     # jax_default_matmul_precision=highest (ADVICE r3). Only the bf16 P·V
     # matmul must stay DEFAULT — fp32 contract precision on bf16 operands
     # is what Mosaic rejects ('Bad lhs type', the CLAHE-era constraint).
+    # Under the DEFAULT global precision the einsum path contracts QK^T at
+    # bf16-grade precision while this kernel stays HIGHEST — i.e. the fused
+    # path is deliberately the *more* precise of the two there (pinning it
+    # to DEFAULT would re-diverge it under global-highest instead); the
+    # parity tests' tolerances absorb that one-sided gap (ADVICE r4).
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,

@@ -244,19 +244,24 @@ def generate_frames(
 
     act_scales = None
     if gan_cfg.serve_int8 and gan_cfg.serve_int8_static:
-        # one-time eager calibration on the video's first gen_batch_size
-        # frames: records per-module max-|activation| so the jitted
-        # program below uses fixed scales (no runtime reductions)
+        # one-time eager calibration: records per-module max-|activation| so
+        # the jitted program below uses fixed scales (no runtime
+        # reductions). Frames are sampled EVENLY ACROSS the video (not just
+        # the opening batch — brightness/content drift on later frames
+        # would silently clip, ADVICE r4) and the scales carry a small
+        # headroom factor for activations between the sampled frames.
         from ..ops import quant
 
         n_cal = min(pre_cfg.gen_batch_size, num_out)
+        cal_idx = np.unique(np.linspace(0, num_out - 1, n_cal).astype(np.int64))
         x_cal = gen_input_prep(
-            jnp.asarray(frames_seq[:n_cal]).astype(jnp.float32),
-            jnp.asarray(boxes[:n_cal]), img)
-        mel_cal = jnp.asarray(mel_windows[:n_cal])[..., None]
+            jnp.asarray(frames_seq[cal_idx]).astype(jnp.float32),
+            jnp.asarray(boxes[cal_idx]), img)
+        mel_cal = jnp.asarray(mel_windows[cal_idx])[..., None]
         act_scales = quant.calibrate_activation_scales(
             lambda m, xx: gen.apply({"params": gen_params}, m, xx),
             [(mel_cal, x_cal)])
+        act_scales = jax.tree_util.tree_map(lambda s: s * 1.05, act_scales)
 
     def gen_batch(params, frames_u8, boxes_b, mels):
         return lipsync_batch(gen, params, frames_u8, boxes_b, mels, img,

@@ -176,6 +176,93 @@ def _scan_segment_dpmpp(
     return jax.lax.scan(step, (xt, d_prev), (ts, ts_prev, ts_last, use_2m))
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "sampler", "eta", "use_ema", "clf_cfg",
+                     "snapshot_every"),
+)
+def _sample_fused(
+    state: DiffusionTrainState,
+    cond_frame_uint8: jax.Array,
+    audio_wave: jax.Array,
+    key: jax.Array,
+    ts: jax.Array,          # (N,) descending subsequence timesteps
+    ts_prev: jax.Array,     # (N,) target timesteps (-1 = x0)
+    ts_last: jax.Array,     # (N,) previous eval timesteps (dpmpp history)
+    use_2m: jax.Array,      # (N,) bool second-order mask (dpmpp)
+    cfg: DiffusionConfig,
+    sampler: str,
+    eta: float = 0.0,
+    use_ema: bool = False,
+    clf_cfg=None,
+    guidance=None,
+    snapshot_every: int = 50,
+) -> Tuple[jax.Array, jax.Array]:
+    """The whole few-step trajectory as ONE device program: conditioning
+    encode + initial noise draw + N-step scan + final clip/rescale. The
+    segmented path pays a dispatch for ``encode_condition``, one per scan
+    segment, and ~6 eager dispatches for the [-1,1]→[0,1] rescale — ~80 ms
+    of fixed per-image cost that is invisible at T=500 but dominates at
+    N=20–50 (bench_summary_r4: DPM++-20 ran at 66.8 steps/s vs the DDPM
+    chain's 102). Few-step sampling is the production latency surface
+    (reference: video-generation/diffusion/test.py:51-83 runs the full 500
+    host-driven forwards); here it is one dispatch + one fetch.
+
+    PRNG/key handling replicates ``_sample_impl`` exactly (k0 → initial
+    noise, fold_in(kloop, t) per step), so the fused and segmented paths
+    produce the same trajectory (pinned in tests/test_pipelines.py).
+    """
+    model = UNetAudio(cfg)
+    params = state.ema_params if use_ema else state.params
+    scheduler = make_scheduler(cfg.scheduler, cfg.num_timesteps, cfg.beta_start,
+                               cfg.beta_end)
+    cond_img = image_ops.normalize_uint8(
+        image_ops.resize(cond_frame_uint8, (cfg.im_size, cfg.im_size)),
+        symmetric=True)
+    cond_map = model.apply({"params": params}, normalize_audio(audio_wave),
+                           cond_img, method=UNetAudio.encode_condition)
+    b = cond_frame_uint8.shape[0]
+    k0, kloop = jax.random.split(key)
+    xt = jax.random.normal(k0, (b, cfg.im_size, cfg.im_size, cfg.im_channels))
+
+    def model_eps(xt, tb):
+        eps = model.apply({"params": params}, xt, cond_map, tb,
+                          method=UNetAudio.denoise)
+        if clf_cfg is not None:
+            eps = _guided_eps(eps, xt, tb, scheduler, clf_cfg, guidance)
+        return eps
+
+    if sampler == "dpmpp":
+        def step(carry, x):
+            xt, d_prev = carry
+            t, t_prev, t_last, second = x
+            tb = jnp.full((b,), t, jnp.int32)
+            eps = model_eps(xt, tb)
+            xt_prev, d = scheduler.dpmpp_2m_prev(
+                xt, eps, tb, jnp.full((b,), t_prev, jnp.int32), d_prev,
+                jnp.full((b,), t_last, jnp.int32), second)
+            return (xt_prev, d), d
+
+        (xt, _), x0_traj = jax.lax.scan(
+            step, (xt, jnp.zeros_like(xt)), (ts, ts_prev, ts_last, use_2m))
+    else:
+        def step(carry, t_pair):
+            xt = carry
+            t, t_prev = t_pair
+            tb = jnp.full((b,), t, jnp.int32)
+            eps = model_eps(xt, tb)
+            xt_prev, x0 = scheduler.ddim_prev(
+                xt, eps, tb, jnp.full((b,), t_prev, jnp.int32),
+                jax.random.fold_in(kloop, t), eta=eta)
+            return xt_prev, x0
+
+        xt, x0_traj = jax.lax.scan(step, xt, (ts, ts_prev))
+
+    final = (jnp.clip(xt, -1.0, 1.0) + 1.0) / 2.0
+    snapshots = (jnp.clip(x0_traj[::snapshot_every], -1.0, 1.0) + 1.0) / 2.0
+    return final, snapshots
+
+
 def sample(
     state: DiffusionTrainState,
     cond_frame_uint8: jax.Array,   # (B, h, w, 3) uint8 condition frame
@@ -193,6 +280,7 @@ def sample(
     classifier_params=None,
     class_label: int | jax.Array | None = None,
     guidance_scale: float = 1.0,
+    fused: bool | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (x0 (B, H, W, 3) in [0,1], snapshots (S, B, H, W, 3)).
     ``use_ema`` samples with the EMA shadow params (utils.py:92-102).
@@ -210,6 +298,11 @@ def sample(
     (first-order) or "dpmpp" (DPM-Solver++(2M), second-order multistep —
     same per-step cost, roughly half the steps for equal ODE accuracy;
     always deterministic, ``eta`` ignored).
+
+    ``fused`` overrides the single-dispatch routing: few-step chains up to
+    ``_FUSED_MAX_STEPS`` run as ONE device program (encode + scan + rescale
+    — ``_sample_fused``) by default; ``fused=False`` forces the segmented
+    dispatch (used by tests to pin the two paths' equivalence).
 
     ``mesh_spec`` runs the whole trajectory data-parallel over the mesh —
     the serving analog of the trainers' mesh wiring: the batch axis (the
@@ -265,7 +358,7 @@ def sample(
             state, cond_frame_uint8, audio_wave, key, cfg, snapshot_every,
             use_ema, segment_size, num_inference_steps, eta, mesh_spec,
             sampler, classifier_cfg, classifier_params, class_label,
-            guidance_scale,
+            guidance_scale, fused,
         )
     if n_pad:
         x0, snaps = x0[:b], snaps[:, :b]
@@ -283,27 +376,30 @@ def ddim_timesteps(num_timesteps: int, num_inference_steps: int) -> np.ndarray:
             * (num_timesteps / num_inference_steps)).astype(np.int64)[::-1]
 
 
+def _make_guidance(classifier_cfg, classifier_params, class_label,
+                   guidance_scale, b):
+    if classifier_cfg is None:
+        return None
+    return {"params": classifier_params,
+            "label": jnp.broadcast_to(
+                jnp.asarray(class_label, jnp.int32), (b,)),
+            "scale": jnp.float32(guidance_scale)}
+
+
+# Few-step chains up to this length run as one fused device program
+# (_sample_fused). Longer chains keep the segmented dispatch so no single
+# device program outgrows execution-watchdog limits; their fixed overhead
+# amortizes over hundreds of steps anyway.
+_FUSED_MAX_STEPS = 128
+
+
 def _sample_impl(
     state, cond_frame_uint8, audio_wave, key, cfg, snapshot_every,
     use_ema, segment_size, num_inference_steps, eta, mesh_spec=None,
     sampler="ddim", classifier_cfg=None, classifier_params=None,
-    class_label=None, guidance_scale=1.0,
+    class_label=None, guidance_scale=1.0, fused=None,
 ) -> Tuple[jax.Array, jax.Array]:
-    cond_map = encode_condition(state, cond_frame_uint8, audio_wave, cfg, use_ema)
     b = cond_frame_uint8.shape[0]
-    guidance = None
-    if classifier_cfg is not None:
-        guidance = {"params": classifier_params,
-                    "label": jnp.broadcast_to(
-                        jnp.asarray(class_label, jnp.int32), (b,)),
-                    "scale": jnp.float32(guidance_scale)}
-    k0, kloop = jax.random.split(key)
-    xt = jax.random.normal(k0, (b, cfg.im_size, cfg.im_size, cfg.im_channels))
-    if mesh_spec is not None:
-        from ..parallel.mesh import batch_sharding
-
-        xt = jax.device_put(xt, batch_sharding(mesh_spec, xt.ndim))
-
     few_step = (num_inference_steps is not None
                 and num_inference_steps < cfg.num_timesteps)
     dpmpp = few_step and sampler == "dpmpp"
@@ -315,8 +411,31 @@ def _sample_impl(
         # and the final step to x0 (lower_order_final: h is infinite there)
         ts_last_all = np.concatenate([ts_all[:1], ts_all[:-1]])
         use_2m_all = (np.arange(len(ts_all)) > 0) & (ts_prev_all >= 0)
+        want_fused = (fused if fused is not None
+                      else len(ts_all) <= _FUSED_MAX_STEPS)
+        if want_fused and mesh_spec is None:
+            # single-dispatch path: the whole chain (encode + scan + final
+            # rescale) is one device program — see _sample_fused
+            return _sample_fused(
+                state, cond_frame_uint8, audio_wave, key,
+                jnp.asarray(ts_all), jnp.asarray(ts_prev_all),
+                jnp.asarray(ts_last_all), jnp.asarray(use_2m_all),
+                cfg, sampler, eta, use_ema, classifier_cfg,
+                _make_guidance(classifier_cfg, classifier_params, class_label,
+                               guidance_scale, b),
+                snapshot_every)
     else:
         ts_all = np.arange(cfg.num_timesteps - 1, -1, -1)
+
+    cond_map = encode_condition(state, cond_frame_uint8, audio_wave, cfg, use_ema)
+    guidance = _make_guidance(classifier_cfg, classifier_params, class_label,
+                              guidance_scale, b)
+    k0, kloop = jax.random.split(key)
+    xt = jax.random.normal(k0, (b, cfg.im_size, cfg.im_size, cfg.im_channels))
+    if mesh_spec is not None:
+        from ..parallel.mesh import batch_sharding
+
+        xt = jax.device_put(xt, batch_sharding(mesh_spec, xt.ndim))
     seg = max(1, min(segment_size, len(ts_all)))
     # full-size segments share one compiled program; a trailing remainder
     # segment (different static length) compiles once more at most.
@@ -340,10 +459,130 @@ def _sample_impl(
             xt, x0_traj = _scan_segment(state, xt, cond_map, chunk, kloop, cfg,
                                         use_ema, classifier_cfg, guidance)
         snaps.append(x0_traj[::snapshot_every])
-    snapshots = jnp.concatenate(snaps, axis=0) if snaps else jnp.zeros((0,) + xt.shape)
+    if not snaps:
+        return _finalize(xt, [jnp.zeros((0,) + xt.shape, xt.dtype)])
+    return _finalize(xt, snaps)
+
+
+@jax.jit
+def _finalize(xt, snaps):
+    """Concat + [-1,1]→[0,1] rescale as one dispatch (eager jnp ops here
+    would each pay a relay round trip — ~6 dispatches on the old path)."""
+    snapshots = jnp.concatenate(snaps, axis=0)
     final = (jnp.clip(xt, -1.0, 1.0) + 1.0) / 2.0
     snapshots = (jnp.clip(snapshots, -1.0, 1.0) + 1.0) / 2.0
     return final, snapshots
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "eta"))
+def _sr_fused(sr_params, low_sym, key, ts, ts_prev, cfg, eta=0.0):
+    """Whole SR few-step chain as ONE device program (draw + DDIM scan +
+    rescale) — same single-dispatch shape as ``_sample_fused``."""
+    from .train_superres import make_sr_model
+
+    model = make_sr_model(cfg)
+    scheduler = make_scheduler(cfg.scheduler, cfg.num_timesteps,
+                               cfg.beta_start, cfg.beta_end)
+    b = low_sym.shape[0]
+    k0, kloop = jax.random.split(key)
+    xt = jax.random.normal(k0, (b, cfg.im_size, cfg.im_size, cfg.im_channels))
+
+    def step(carry, t_pair):
+        xt = carry
+        t, t_prev = t_pair
+        tb = jnp.full((b,), t, jnp.int32)
+        eps = model.apply({"params": sr_params}, xt, low_sym, tb)
+        xt_prev, x0 = scheduler.ddim_prev(
+            xt, eps, tb, jnp.full((b,), t_prev, jnp.int32),
+            jax.random.fold_in(kloop, t), eta=eta)
+        return xt_prev, x0
+
+    xt, _ = jax.lax.scan(step, xt, (ts, ts_prev))
+    return (jnp.clip(xt, -1.0, 1.0) + 1.0) / 2.0
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "eta"))
+def _sr_segment(sr_params, xt, low_sym, key, ts, ts_prev, cfg, eta=0.0):
+    from .train_superres import make_sr_model
+
+    model = make_sr_model(cfg)
+    scheduler = make_scheduler(cfg.scheduler, cfg.num_timesteps,
+                               cfg.beta_start, cfg.beta_end)
+    b = low_sym.shape[0]
+
+    def step(carry, t_pair):
+        xt = carry
+        t, t_prev = t_pair
+        tb = jnp.full((b,), t, jnp.int32)
+        eps = model.apply({"params": sr_params}, xt, low_sym, tb)
+        xt_prev, x0 = scheduler.ddim_prev(
+            xt, eps, tb, jnp.full((b,), t_prev, jnp.int32),
+            jax.random.fold_in(key, t), eta=eta)
+        return xt_prev, x0
+
+    return jax.lax.scan(step, xt, (ts, ts_prev))
+
+
+def sample_superres(
+    sr_params,
+    low01: jax.Array,               # (B, low, low, C) in [0, 1]
+    key: jax.Array,
+    cfg,                            # SuperResConfig
+    num_inference_steps: int | None = None,
+    eta: float = 0.0,
+) -> jax.Array:
+    """Low-res samples → high-res (B, im_size, im_size, C) in [0, 1]:
+    the second stage of the guided-diffusion cascade, driving
+    ``SuperResModel`` (reference unet.py:678-693, never driven there).
+    Few-step DDIM over the strided subsequence; one device program when the
+    chain fits (the serving default, cfg.sr_inference_steps=50)."""
+    steps = num_inference_steps or cfg.sr_inference_steps
+    ts_all = ddim_timesteps(cfg.num_timesteps, min(steps, cfg.num_timesteps))
+    ts_prev_all = np.concatenate([ts_all[1:], [-1]])
+    low_sym = low01.astype(jnp.float32) * 2.0 - 1.0
+    if len(ts_all) <= _FUSED_MAX_STEPS:
+        return _sr_fused(sr_params, low_sym, key, jnp.asarray(ts_all),
+                         jnp.asarray(ts_prev_all), cfg, eta)
+    k0, kloop = jax.random.split(key)
+    b = low_sym.shape[0]
+    xt = jax.random.normal(k0, (b, cfg.im_size, cfg.im_size, cfg.im_channels))
+    for i in range(0, len(ts_all), _FUSED_MAX_STEPS):
+        xt, _ = _sr_segment(
+            sr_params, xt, low_sym, kloop,
+            jnp.asarray(ts_all[i:i + _FUSED_MAX_STEPS]),
+            jnp.asarray(ts_prev_all[i:i + _FUSED_MAX_STEPS]), cfg, eta)
+    return (jnp.clip(xt, -1.0, 1.0) + 1.0) / 2.0
+
+
+def sample_cascade(
+    state: DiffusionTrainState,
+    cond_frame_uint8: jax.Array,
+    audio_wave: jax.Array,
+    key: jax.Array,
+    cfg: DiffusionConfig,
+    sr_params,
+    sr_cfg,
+    num_inference_steps: int | None = None,
+    sr_inference_steps: int | None = None,
+    use_ema: bool = False,
+    sampler: str = "ddim",
+    **sample_kwargs,
+) -> Tuple[jax.Array, jax.Array]:
+    """Two-stage cascade: base model samples at ``cfg.im_size`` (==
+    ``sr_cfg.low_size``), the SR stage lifts to ``sr_cfg.im_size``.
+    Returns (high01, low01). The guided-diffusion deployment pattern the
+    reference's SuperResModel was written for."""
+    if cfg.im_size != sr_cfg.low_size:
+        raise ValueError(
+            f"cascade mismatch: base im_size {cfg.im_size} != SR low_size "
+            f"{sr_cfg.low_size}")
+    k_base, k_sr = jax.random.split(key)
+    low01, _ = sample(state, cond_frame_uint8, audio_wave, k_base, cfg,
+                      num_inference_steps=num_inference_steps,
+                      use_ema=use_ema, sampler=sampler, **sample_kwargs)
+    high01 = sample_superres(sr_params, low01, k_sr, sr_cfg,
+                             num_inference_steps=sr_inference_steps)
+    return high01, low01
 
 
 def sample_video(

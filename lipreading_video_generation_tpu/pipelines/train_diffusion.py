@@ -38,12 +38,24 @@ class DiffusionTrainState:
     ema_rate: float = flax.struct.field(pytree_node=False, default=0.9999)
 
 
-def create_state(cfg: DiffusionConfig, key: jax.Array, ema_rate: float = 0.9999) -> DiffusionTrainState:
+def create_state(cfg: DiffusionConfig, key: jax.Array, ema_rate: float = 0.9999,
+                 wav2vec2_checkpoint: str | None = None) -> DiffusionTrainState:
+    """``wav2vec2_checkpoint`` (a ``port-wav2vec2 --out`` artifact)
+    initializes the audio-encoder submodule from the ported pretrained
+    weights — the reference starts from pretrained
+    facebook/wav2vec2-base-960h and trains it jointly (unet_audio.py:11-14);
+    requires ``cfg.audio_encoder == "wav2vec2"`` with matching dims (use
+    ``ports.diffusion_cfg_with_wav2vec2``)."""
     model = UNetAudio(cfg)
     xt = jnp.zeros((1, cfg.im_size, cfg.im_size, cfg.im_channels))
     cond = jnp.zeros((1, cfg.im_size, cfg.im_size, cfg.im_channels))
     wave = jnp.zeros((1, cfg.audio_samples))
     params = model.init(key, xt, cond, wave, jnp.zeros((1,), jnp.int32))["params"]
+    if wav2vec2_checkpoint:
+        from ..models import ports
+
+        w2v_params, _ = ports.load_wav2vec2_params(wav2vec2_checkpoint)
+        params = ports.graft_wav2vec2_into_diffusion(dict(params), w2v_params)
     tx = optax.adam(cfg.learning_rate)
     # ema starts as a *copy* of params (donation-safe: no aliased buffers)
     ema = jax.tree_util.tree_map(jnp.array, params)
@@ -195,6 +207,7 @@ def train(
     steps_per_dispatch: int = 4,
     eval_batch_fn=None,
     eval_every: int = 500,
+    wav2vec2_checkpoint: str | None = None,
 ) -> DiffusionTrainState:
     """Step-driven loop (train.py:107-137 shape, step- not epoch-indexed):
     q-sample + ε-MSE per step on the data-parallel mesh; periodic Orbax
@@ -219,7 +232,7 @@ def train(
 
     spec = mesh_spec or build_mesh(MeshConfig())
     key = prng.make_root_key(seed)
-    state = create_state(cfg, key)
+    state = create_state(cfg, key, wav2vec2_checkpoint=wav2vec2_checkpoint)
     mgr = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
     start_step = 0
     if mgr is not None and mgr.latest_step() is not None:

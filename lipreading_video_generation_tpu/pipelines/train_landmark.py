@@ -206,8 +206,21 @@ def train(
 
 
 def load_params(checkpoint_dir: str):
-    """Restore trained landmark params saved by ``train``."""
+    """Restore trained landmark params saved by ``train``.
+
+    Round 4 replaced LipLandmarkNet's global-pool fc1/fc2 head with the
+    up*/heat heatmap decoder (a full param-tree change), so checkpoints
+    written by earlier rounds no longer restore — surface that as a clear
+    retrain message instead of Orbax's opaque structure-mismatch error."""
     from ..core import checkpoint as ckpt
 
     template = {"params": jax.device_get(create_state(jax.random.PRNGKey(0)).params)}
-    return ckpt.load_once(checkpoint_dir, template)["params"]
+    try:
+        return ckpt.load_once(checkpoint_dir, template)["params"]
+    except (ValueError, KeyError) as e:
+        raise ValueError(
+            f"landmark checkpoint at {checkpoint_dir!r} does not match the "
+            "current LipLandmarkNet (likely saved before the round-4 "
+            "heatmap head replaced the fc1/fc2 global-pool head). Retrain "
+            "with `lvg-tpu train-landmark --out <dir>`."
+        ) from e

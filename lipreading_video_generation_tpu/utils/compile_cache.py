@@ -21,6 +21,7 @@ import glob
 import hashlib
 import os
 import platform
+import re
 
 
 def pid_alive(pid: int) -> bool:
@@ -126,6 +127,44 @@ def heal_cache_dir(cache_dir: str) -> None:
             pass
 
 
+_FEATURES_RE = re.compile(rb"[+-][a-z0-9.\-]+(?:,[+-][a-z0-9.\-]+){3,}")
+
+
+def xla_cpu_target_fingerprint() -> str | None:
+    """The compile-machine identity XLA:CPU *actually* bakes into AOT
+    executables, read back out of XLA itself: compile a trivial canary on
+    the CPU backend, serialize it, and extract the LLVM target-feature
+    string (plus the target triple + cpu name immediately preceding it in
+    the blob). This is byte-for-byte the string ``cpu_aot_loader`` compares
+    at load time — including pure *tuning* features like
+    ``+prefer-no-gather`` that are set from LLVM's CPUID probe and never
+    appear in /proc/cpuinfo (the round-4 dryrun's mismatch was exactly such
+    a feature slipping past the cpuinfo fingerprint; MULTICHIP_r04 tail).
+
+    Returns None when no CPU backend is primary or the serialized format
+    stops exposing the feature list — callers fall back to the cpuinfo
+    fingerprint. Deterministic across processes on a host (verified: the
+    canary blob's feature/triple/cpu region is byte-stable)."""
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        if jax.default_backend().lower() != "cpu":
+            return None
+        compiled = jax.jit(lambda x: x @ x).lower(
+            jnp.ones((8, 8), jnp.float32)).compile()
+        blob = bytes(compiled.runtime_executable().serialize())
+    except Exception:
+        return None
+    m = _FEATURES_RE.search(blob)
+    if m is None:
+        return None
+    # triple + cpu name sit just before the feature list (printable runs)
+    head = blob[max(0, m.start() - 200):m.start()]
+    context = b"|".join(re.findall(rb"[ -~]{4,}", head)[-2:])
+    return hashlib.sha1(m.group(0) + b"|" + context).hexdigest()[:10]
+
+
 def machine_tag() -> str:
     """A short fingerprint of the host's ISA feature set. XLA:CPU caches
     AOT-compiled executables specialized to the compiling machine's CPU
@@ -135,13 +174,28 @@ def machine_tag() -> str:
     is keyed per-machine: a mismatched host recompiles instead of loading
     another machine's AOT blobs.
 
-    The key includes the CPU identity fields (vendor/family/model/stepping/
-    microcode/model name), not just the flag set: LLVM adds
-    microarchitecture tuning features keyed off the detected CPUID identity
-    (e.g. ``prefer-no-scatter``/``prefer-no-gather``, set per-stepping for
-    GDS-affected parts) that never appear in /proc/cpuinfo flags, so two
-    hosts with identical flags — or even identical model-name strings — can
-    still emit mismatched AOT entries."""
+    Primary key: ``xla_cpu_target_fingerprint`` — XLA's own view of the
+    compile machine (triple + cpu + full LLVM feature string, tuning
+    features included), so the subdir key can never disagree with what the
+    compiler actually targeted. Fallback (no CPU backend / format change):
+    the /proc/cpuinfo identity fields (vendor/family/model/stepping/
+    microcode/model name + flags).
+
+    Known limitation (round-5 root cause of the MULTICHIP_r04 noise): the
+    AOT *loader* compares the blob's compile-feature string against a
+    host-CPUID probe whose vocabulary can never contain LLVM tuning
+    features like ``+prefer-no-gather`` — so it logs a "Machine type ...
+    doesn't match" error on every load, EVEN ON THE HOST THAT WROTE THE
+    ENTRY. No cache keying can silence that (it is an upstream
+    false-positive); this key's job is the real safety property — entries
+    are only ever loaded on a host whose XLA target identity matches the
+    writer's, so the tuning-feature complaint is provably noise and a true
+    cross-ISA SIGILL cannot happen. Contexts that need a clean stderr
+    (``__graft_entry__.dryrun_multichip``) use a throwaway cache dir
+    instead, which never loads at all."""
+    fp = xla_cpu_target_fingerprint()
+    if fp is not None:
+        return "x" + fp
     fields = {k: "" for k in (
         "flags", "Features", "model name", "vendor_id", "cpu family",
         "model", "stepping", "microcode")}

@@ -61,10 +61,24 @@ def main():
     x0, _ = sample_diffusion.sample(state, cond, audio, key, cfg, **kw)
     _ = np.asarray(x0)
 
+    # fetch round-trip on an already-computed tiny buffer (bench.py's
+    # methodology): the relay's device→host RTT is a fixed per-fetch cost
+    # every surface pays exactly once; the 500-step chain amortizes it to
+    # 0.15 ms/step while a 20-step chain pays 3.7 ms/step of pure relay
+    # latency — so the corrected number is the hardware-comparable one and
+    # the raw wall clock is reported alongside.
+    tiny = jnp.zeros((8,)) + 1.0
+    _ = np.asarray(tiny)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _ = np.asarray(tiny)
+    rtt = (time.perf_counter() - t0) / 3
+
     t0 = time.perf_counter()
     x0, _ = sample_diffusion.sample(state, cond, audio, jax.random.key(1), cfg, **kw)
     _ = np.asarray(x0)
-    total = time.perf_counter() - t0
+    wall = time.perf_counter() - t0
+    total = max(wall - rtt, 1e-9)
 
     from lipreading_video_generation_tpu.utils.flops import flops_detail, mfu_report
 
@@ -87,6 +101,8 @@ def main():
                    if args.ddim_steps else ""),
         "total_s": round(total, 3),
         "sec_per_image": round(total / args.batch, 3),
+        "wall_s": round(wall, 3),
+        "fetch_rtt_s": round(rtt, 4),
         **mfu_report(step_flops, 1.0 / steps_per_sec),
     }))
 

@@ -1,19 +1,24 @@
-"""Bench-regression gate: run the headline bench and FAIL if it drops
-below a pinned floor.
+"""Bench-regression gate: FAIL if any benched surface drops below its
+pinned floor.
 
 Round-3 postmortem (VERDICT.md): a kernel-dispatch change regressed the
 driver headline 1.7x (99.6k -> 58.5k frames/s) and nothing failed, because
 microbenches measured the kernel in isolation while the end-to-end program
-told the opposite story. This gate pins the end-to-end number so a
-committed perf regression fails loudly before the driver measures it.
+told the opposite story. Round 4 gated the headline; round 5 extends the
+floors to EVERY surface of record (VERDICT r4 #3) so a committed >10%%
+regression anywhere fails loudly before the driver measures it.
 
-The floor is deliberately ~10%% below the measured record (97-101k
-frames/s across rounds 3-4) to absorb run-to-run variance on the shared
-TPU while still catching anything structural (the r3 regression was -40%%).
+Floors are ~10%% below the round-4/5 records to absorb the shared chip's
+run-to-run variance (~±3%%) while catching anything structural (the r3
+regression was -40%%).
 
-Usage: python scripts/bench_gate.py        # exits 1 on TPU if below floor
+Usage:
+  python scripts/bench_gate.py                 # headline only (fast gate)
+  python scripts/bench_gate.py --all           # run bench_all, gate every row
+  python scripts/bench_gate.py --summary F.json  # gate a pre-computed summary
 CPU backends are informational only (no floor - CPU perf is not the target).
 """
+import argparse
 import json
 import os
 import subprocess
@@ -21,13 +26,29 @@ import sys
 
 ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
 
-# metric name -> (floor, unit) on the TPU backend
+# headline metric -> (floor, unit) on the TPU backend (fast gate)
 FLOORS = {
     "preprocess+vivit_inference_frames_per_sec_per_chip": (88_000.0, "frames/sec/chip"),
 }
 
+# bench_all summary row -> (floor, record, unit). Records: bench_summary_r4
+# + the round-5 fused few-step sampler (RTT-corrected, see
+# scripts/bench_diffusion.py).
+SUMMARY_FLOORS = {
+    "pipeline": (88_000.0, "94-98k", "frames/s"),
+    "vivit_train": (50_000.0, "56.6k", "frames/s"),
+    "gan_train": (13.5, "15.4", "steps/s"),
+    "lipsync_serving": (3_300.0, "3713", "frames/s"),
+    "lipsync_serving_int8_static": (3_100.0, "3495", "frames/s"),
+    "face_detect": (520.0, "578", "frames/s"),
+    "diffusion_sampling": (92.0, "102-104", "steps/s"),
+    "diffusion_sampling_ddim50": (92.0, "~102", "steps/s"),
+    "diffusion_sampling_dpmpp20": (92.0, "~102", "steps/s"),
+    "diffusion_train": (4.0, "4.47", "steps/s"),
+}
 
-def main() -> int:
+
+def _headline_gate() -> int:
     out = subprocess.run([sys.executable, "bench.py"], capture_output=True,
                          text=True, cwd=ROOT)
     parsed = None
@@ -69,6 +90,55 @@ def main() -> int:
         return 1
     print(f"bench_gate: OK {metric} = {value:.1f} {unit} >= floor {floor:.1f}")
     return 0
+
+
+def _summary_gate(summary: dict) -> int:
+    failures, missing = [], []
+    for row, (floor, record, unit) in SUMMARY_FLOORS.items():
+        entry = summary.get(row)
+        if not isinstance(entry, dict) or "value" not in entry:
+            missing.append(row)
+            continue
+        value = float(entry["value"])
+        if value < floor:
+            failures.append(f"{row} = {value:.1f} {unit} < floor {floor:.1f} "
+                            f"(record {record})")
+        else:
+            print(f"bench_gate: OK {row} = {value:.1f} {unit} "
+                  f">= floor {floor:.1f}")
+    for row in missing:
+        print(f"bench_gate: MISSING row {row!r} in summary — refusing to "
+              "fail open", file=sys.stderr)
+    for f in failures:
+        print(f"bench_gate: FAIL {f}", file=sys.stderr)
+    return 1 if (failures or missing) else 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--all", action="store_true",
+                    help="run bench_all.py and gate every surface")
+    ap.add_argument("--summary", default=None,
+                    help="gate a pre-computed bench_all summary JSON "
+                         "(no TPU run)")
+    args = ap.parse_args()
+
+    if args.summary:
+        with open(args.summary) as f:
+            return _summary_gate(json.load(f))
+    if args.all:
+        out = subprocess.run(
+            [sys.executable, "scripts/bench_all.py", "--out",
+             "bench_summary_gate.json"],
+            capture_output=True, text=True, cwd=ROOT)
+        path = os.path.join(ROOT, "bench_summary_gate.json")
+        if out.returncode != 0 or not os.path.exists(path):
+            print("bench_gate: bench_all failed", file=sys.stderr)
+            print(out.stderr[-2000:], file=sys.stderr)
+            return 1
+        with open(path) as f:
+            return _summary_gate(json.load(f))
+    return _headline_gate()
 
 
 if __name__ == "__main__":

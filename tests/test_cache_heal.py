@@ -132,6 +132,20 @@ def test_cpu_platform_cache_is_machine_keyed(tmp_path):
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", prev_bytes)
 
 
+def test_machine_tag_uses_xla_target_fingerprint():
+    """On a CPU session the tag must come from XLA's own compile-machine
+    identity (canary executable: triple + cpu + full LLVM feature string,
+    tuning features included) — the cpuinfo fallback provably missed a
+    ``+prefer-no-gather`` tuning mismatch in the round-4 driver dryrun."""
+    from lipreading_video_generation_tpu.utils import compile_cache as cc
+
+    fp = cc.xla_cpu_target_fingerprint()
+    assert fp is not None and len(fp) == 10
+    int(fp, 16)  # hex digest
+    assert fp == cc.xla_cpu_target_fingerprint()  # stable, not a nonce
+    assert cc.machine_tag() == "x" + fp
+
+
 def test_heartbeat_preserves_completed_entries(tmp_path):
     """A killed session with heartbeats (touch_marker after each test) only
     loses entries from the final heartbeat window — entries completed

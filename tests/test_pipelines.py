@@ -491,6 +491,36 @@ def test_sampler_ddim_few_step():
     np.testing.assert_array_equal(xn, np.asarray(x_rep))
 
 
+def test_sampler_fused_matches_segmented():
+    """The single-dispatch fused few-step path (_sample_fused) is a pure
+    dispatch-count optimization: its trajectory must match the segmented
+    path (same PRNG folds, same scheduler math) for both DDIM and DPM++,
+    with and without classifier guidance on the DDIM path."""
+    state = train_diffusion.create_state(TINY_DIFF, KEY)
+    b = _diff_batch()
+    for sampler in ("ddim", "dpmpp"):
+        x_f, s_f = sample_diffusion.sample(
+            state, b["cond_frame"], b["audio"], KEY, TINY_DIFF,
+            snapshot_every=1, num_inference_steps=5, sampler=sampler,
+            fused=True)
+        x_s, s_s = sample_diffusion.sample(
+            state, b["cond_frame"], b["audio"], KEY, TINY_DIFF,
+            snapshot_every=1, segment_size=5, num_inference_steps=5,
+            sampler=sampler, fused=False)
+        np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_s),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_s),
+                                   atol=2e-5)
+    # nontrivial eta through the fused DDIM path stays equivalent too
+    x_f, _ = sample_diffusion.sample(
+        state, b["cond_frame"], b["audio"], KEY, TINY_DIFF,
+        num_inference_steps=5, eta=1.0, fused=True)
+    x_s, _ = sample_diffusion.sample(
+        state, b["cond_frame"], b["audio"], KEY, TINY_DIFF,
+        num_inference_steps=5, eta=1.0, fused=False)
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_s), atol=2e-5)
+
+
 def test_gan_scan_matches_stepwise():
     """gan_train_scan is a pure performance transform: the loss trajectory
     over 3 steps must match 3 direct steps (well-conditioned check; exact

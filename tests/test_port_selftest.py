@@ -41,6 +41,20 @@ def test_port_avhubert_selftest(tmp_path, capsys):
     assert r["feature_shape"] == [1, 3, 64]
 
 
+@pytest.mark.slow
+def test_port_wav2vec2_selftest(tmp_path, capsys):
+    pytest.importorskip("transformers")
+    r = _run(capsys, ["port-wav2vec2", "--selftest", "--out", str(tmp_path / "a")])
+    assert r["selftest"] == "port-wav2vec2"
+    assert r["config"]["embed_dim"] == 64
+    # ported encoder pinned against the live HF forward inside the selftest
+    assert r["hf_parity_max_abs_err"] < 5e-3
+    # the diffusion conditioning path ran: audio_proj(16) + im_cond(8) maps
+    assert r["cond_map_shape"] == [1, 16, 16, 24]
+    assert r["eps_shape"] == [1, 16, 16, 3]
+    assert len(r["pth_sha256"]) == 64
+
+
 def test_port_requires_exactly_one_source(tmp_path):
     with pytest.raises(SystemExit):
         cli.main(["port-s3fd", "--out", str(tmp_path / "a")])
