@@ -59,6 +59,17 @@ class MeshConfig:
     # Parameters with >= this many elements (and a model-axis-divisible
     # output dim) are tensor-parallel sharded when model_parallel > 1.
     model_shard_threshold: int = 2**22
+    # ZeRO-1: shard optimizer state (Adam moments) over the DATA axis —
+    # pure DP otherwise replicates params AND both moments on every chip
+    # (3x param memory per device). Each moment leaf shards its largest
+    # data-axis-divisible dim that tensor parallelism hasn't claimed;
+    # GSPMD lowers the update to reduce-scatter(grads)-shaped compute +
+    # all-gather of the applied updates. Numerics are identical (Adam is
+    # elementwise); equivalence pinned in tests/test_parallel.py.
+    zero1: bool = False
+    # moment leaves smaller than this replicate regardless (sharding tiny
+    # tensors buys nothing and costs collective latency)
+    zero1_min_size: int = 2**16
 
 
 @dataclass(frozen=True)

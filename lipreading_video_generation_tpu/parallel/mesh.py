@@ -36,6 +36,9 @@ class MeshSpec:
     model_axis: str
     # tensor-parallel policy knob (from MeshConfig.model_shard_threshold)
     model_shard_threshold: int = 2**22
+    # ZeRO-1 optimizer-state sharding over the data axis (MeshConfig.zero1)
+    zero1: bool = False
+    zero1_min_size: int = 2**16
 
     @property
     def data_size(self) -> int:
@@ -71,6 +74,8 @@ def build_mesh(
         data_axis=cfg.data_axis,
         model_axis=cfg.model_axis,
         model_shard_threshold=cfg.model_shard_threshold,
+        zero1=cfg.zero1,
+        zero1_min_size=cfg.zero1_min_size,
     )
 
 
@@ -145,14 +150,70 @@ def shard_params(spec: MeshSpec, params):
     return jax.tree_util.tree_map(_put, params)
 
 
+def zero1_partition_spec(leaf, spec: MeshSpec):
+    """ZeRO-1 layout for one optimizer-moment leaf: start from the
+    tensor-parallel param policy (moments mirror their params' TP layout so
+    the elementwise Adam update stays local over the model axis), then
+    additionally shard the LARGEST data-axis-divisible dim the TP policy
+    left unsharded. Leaves below ``zero1_min_size`` or with no divisible
+    free dim replicate — correctness is unaffected, they just don't save
+    memory (classic ZeRO-1 shards the flattened vector instead; per-dim
+    sharding keeps leaves as plain NamedShardings the existing jit/scan
+    carries handle with zero trainer changes)."""
+    base = param_partition_spec(leaf, spec)
+    if not hasattr(leaf, "ndim") or leaf.ndim == 0 \
+            or leaf.size < spec.zero1_min_size or spec.data_size == 1:
+        return base
+    parts = list(base) + [None] * (leaf.ndim - len(base))
+    free = [d for d in range(leaf.ndim)
+            if parts[d] is None and leaf.shape[d] % spec.data_size == 0]
+    if not free:
+        return base
+    d = max(free, key=lambda i: leaf.shape[i])
+    parts[d] = spec.data_axis
+    return P(*parts)
+
+
+#: Train-state attribute names whose subtrees hold optimizer moments —
+#: the ZeRO-1 shard targets (flax TrainState / DiffusionTrainState use
+#: ``opt_state``; GanTrainState splits generator/discriminator).
+_OPT_STATE_FIELDS = ("opt_state", "gen_opt", "disc_opt")
+
+
+def shard_opt_state(spec: MeshSpec, tree):
+    """Place an optimizer-state pytree per the ZeRO-1 policy."""
+    def _put(x):
+        return jax.device_put(
+            x, NamedSharding(spec.mesh, zero1_partition_spec(x, spec)))
+
+    return jax.tree_util.tree_map(_put, tree)
+
+
 def shard_state(spec: MeshSpec, tree):
     """Place a FULL train-state pytree on the mesh through the
     ``param_partition_spec`` policy: large 2-D+ kernels (params, their Adam
     moments, EMA shadows — all shape-mirrored leaves) shard over the model
     axis; scalars/small leaves replicate. Under pure DP (model axis size 1)
     this degenerates to ``replicate_state`` exactly, so the production
-    loops call it unconditionally."""
-    return shard_params(spec, tree)
+    loops call it unconditionally.
+
+    With ``spec.zero1`` (MeshConfig.zero1) the subtrees under the
+    ``_OPT_STATE_FIELDS`` attributes additionally shard over the DATA axis
+    (``zero1_partition_spec``) — pure DP stops paying 3x param memory per
+    chip for Adam. Params/EMA stay replicated (the forward needs them);
+    GSPMD keeps the moments sharded across scan-carried steps and
+    all-gathers only the applied updates."""
+    if not spec.zero1 or spec.data_size == 1:
+        return shard_params(spec, tree)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    out = []
+    for path, leaf in flat:
+        names = {getattr(k, "name", getattr(k, "key", None)) for k in path}
+        in_opt = bool(names & set(_OPT_STATE_FIELDS))
+        pspec = (zero1_partition_spec(leaf, spec) if in_opt
+                 else param_partition_spec(leaf, spec))
+        out.append(jax.device_put(leaf, NamedSharding(spec.mesh, pspec)))
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def replicate_state(spec: MeshSpec, tree):

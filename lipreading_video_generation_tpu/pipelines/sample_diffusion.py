@@ -178,25 +178,25 @@ def _scan_segment_dpmpp(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "sampler", "eta", "use_ema", "clf_cfg",
-                     "snapshot_every"),
+    static_argnames=("cfg", "sampler", "num_steps", "eta", "use_ema",
+                     "clf_cfg", "snapshot_every", "out_uint8"),
 )
 def _sample_fused(
     state: DiffusionTrainState,
     cond_frame_uint8: jax.Array,
     audio_wave: jax.Array,
     key: jax.Array,
-    ts: jax.Array,          # (N,) descending subsequence timesteps
-    ts_prev: jax.Array,     # (N,) target timesteps (-1 = x0)
-    ts_last: jax.Array,     # (N,) previous eval timesteps (dpmpp history)
-    use_2m: jax.Array,      # (N,) bool second-order mask (dpmpp)
     cfg: DiffusionConfig,
     sampler: str,
+    num_steps: int,         # static: the timestep subsequence is baked into
+                            # the program as constants (4 fewer host→device
+                            # transfers per image — relay round trips)
     eta: float = 0.0,
     use_ema: bool = False,
     clf_cfg=None,
     guidance=None,
     snapshot_every: int = 50,
+    out_uint8: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """The whole few-step trajectory as ONE device program: conditioning
     encode + initial noise draw + N-step scan + final clip/rescale. The
@@ -212,6 +212,12 @@ def _sample_fused(
     noise, fold_in(kloop, t) per step), so the fused and segmented paths
     produce the same trajectory (pinned in tests/test_pipelines.py).
     """
+    ts_np = ddim_timesteps(cfg.num_timesteps, num_steps)
+    ts_prev_np = np.concatenate([ts_np[1:], [-1]])
+    ts = jnp.asarray(ts_np)
+    ts_prev = jnp.asarray(ts_prev_np)
+    ts_last = jnp.asarray(np.concatenate([ts_np[:1], ts_np[:-1]]))
+    use_2m = jnp.asarray((np.arange(num_steps) > 0) & (ts_prev_np >= 0))
     model = UNetAudio(cfg)
     params = state.ema_params if use_ema else state.params
     scheduler = make_scheduler(cfg.scheduler, cfg.num_timesteps, cfg.beta_start,
@@ -259,6 +265,11 @@ def _sample_fused(
         xt, x0_traj = jax.lax.scan(step, xt, (ts, ts_prev))
 
     final = (jnp.clip(xt, -1.0, 1.0) + 1.0) / 2.0
+    if out_uint8:
+        # serving format (sample_video): convert on-device so the host
+        # fetch is 4x smaller — the fetch is most of the fixed per-image
+        # cost at few-step counts
+        final = jnp.clip(jnp.round(final * 255.0), 0, 255).astype(jnp.uint8)
     snapshots = (jnp.clip(x0_traj[::snapshot_every], -1.0, 1.0) + 1.0) / 2.0
     return final, snapshots
 
@@ -281,8 +292,11 @@ def sample(
     class_label: int | jax.Array | None = None,
     guidance_scale: float = 1.0,
     fused: bool | None = None,
+    out_uint8: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (x0 (B, H, W, 3) in [0,1], snapshots (S, B, H, W, 3)).
+    """Returns (x0 (B, H, W, 3) in [0,1] float — or uint8 with
+    ``out_uint8``, converted on-device so serving fetches 4x fewer bytes —
+    and snapshots (S, B, H, W, 3) float).
     ``use_ema`` samples with the EMA shadow params (utils.py:92-102).
 
     ``classifier_cfg`` + ``classifier_params`` + ``class_label`` turn on
@@ -358,8 +372,11 @@ def sample(
             state, cond_frame_uint8, audio_wave, key, cfg, snapshot_every,
             use_ema, segment_size, num_inference_steps, eta, mesh_spec,
             sampler, classifier_cfg, classifier_params, class_label,
-            guidance_scale, fused,
+            guidance_scale, fused, out_uint8,
         )
+    if out_uint8 and x0.dtype != jnp.uint8:
+        # non-fused paths produce float [0,1]; convert in one extra dispatch
+        x0 = image_ops.denormalize_to_uint8(x0)
     if n_pad:
         x0, snaps = x0[:b], snaps[:, :b]
     return x0, snaps
@@ -397,7 +414,7 @@ def _sample_impl(
     state, cond_frame_uint8, audio_wave, key, cfg, snapshot_every,
     use_ema, segment_size, num_inference_steps, eta, mesh_spec=None,
     sampler="ddim", classifier_cfg=None, classifier_params=None,
-    class_label=None, guidance_scale=1.0, fused=None,
+    class_label=None, guidance_scale=1.0, fused=None, out_uint8=False,
 ) -> Tuple[jax.Array, jax.Array]:
     b = cond_frame_uint8.shape[0]
     few_step = (num_inference_steps is not None
@@ -418,12 +435,10 @@ def _sample_impl(
             # rescale) is one device program — see _sample_fused
             return _sample_fused(
                 state, cond_frame_uint8, audio_wave, key,
-                jnp.asarray(ts_all), jnp.asarray(ts_prev_all),
-                jnp.asarray(ts_last_all), jnp.asarray(use_2m_all),
-                cfg, sampler, eta, use_ema, classifier_cfg,
+                cfg, sampler, len(ts_all), eta, use_ema, classifier_cfg,
                 _make_guidance(classifier_cfg, classifier_params, class_label,
                                guidance_scale, b),
-                snapshot_every)
+                snapshot_every, out_uint8)
     else:
         ts_all = np.arange(cfg.num_timesteps - 1, -1, -1)
 
@@ -623,5 +638,6 @@ def sample_video(
         sampler=sampler, classifier_cfg=classifier_cfg,
         classifier_params=classifier_params, class_label=class_label,
         guidance_scale=guidance_scale,
+        out_uint8=True,   # on-device conversion: 4x smaller host fetch
     )
-    return image_ops.denormalize_to_uint8(x0)  # x0 already in [0,1]
+    return x0

@@ -28,22 +28,23 @@ ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
 
 # headline metric -> (floor, unit) on the TPU backend (fast gate)
 FLOORS = {
-    "preprocess+vivit_inference_frames_per_sec_per_chip": (88_000.0, "frames/sec/chip"),
+    "preprocess+vivit_inference_frames_per_sec_per_chip": (95_000.0, "frames/sec/chip"),
 }
 
-# bench_all summary row -> (floor, record, unit). Records: bench_summary_r4
-# + the round-5 fused few-step sampler (RTT-corrected, see
-# scripts/bench_diffusion.py).
+# bench_all summary row -> (floor, record, unit). Records: round-5
+# (batch-384 headline, fused single-dispatch few-step sampler with uint8
+# fetch — wall-clock steps/s; the marginal per-step rate is higher, see
+# bench_summary fields).
 SUMMARY_FLOORS = {
-    "pipeline": (88_000.0, "94-98k", "frames/s"),
+    "pipeline": (95_000.0, "105.8k", "frames/s"),
     "vivit_train": (50_000.0, "56.6k", "frames/s"),
     "gan_train": (13.5, "15.4", "steps/s"),
     "lipsync_serving": (3_300.0, "3713", "frames/s"),
     "lipsync_serving_int8_static": (3_100.0, "3495", "frames/s"),
     "face_detect": (520.0, "578", "frames/s"),
-    "diffusion_sampling": (92.0, "102-104", "steps/s"),
-    "diffusion_sampling_ddim50": (92.0, "~102", "steps/s"),
-    "diffusion_sampling_dpmpp20": (92.0, "~102", "steps/s"),
+    "diffusion_sampling": (92.0, "102.5", "steps/s"),
+    "diffusion_sampling_ddim50": (85.0, "96.8 wall (109.7 marginal)", "steps/s"),
+    "diffusion_sampling_dpmpp20": (76.0, "85.4 wall (~104 marginal)", "steps/s"),
     "diffusion_train": (4.0, "4.47", "steps/s"),
 }
 

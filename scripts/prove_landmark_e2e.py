@@ -1,0 +1,251 @@
+"""Landmark→accuracy loop (VERDICT r4 #5): does the trained lip-landmark
+regressor's crop quality actually survive to the number that matters —
+word-classification accuracy?
+
+Protocol: render shifted-distribution word-coded clips (the word is encoded
+in mouth-aperture oscillation rate + peak, like prove_lip_expert's clips;
+the mouth POSITION varies widely per clip, so crop placement decides
+whether the classifier can see the articulation at all). Extract mouth-ROI
+clips through the production ``mouth_roi_pipeline_from_boxes`` with three
+box sources:
+
+  (a) oracle    — the renderer's own mouth ellipse extents (the MediaPipe-
+                  quality ceiling; reference lipreading/preprocess.py:46-80)
+  (b) landmark  — the trained ``LipLandmarkNet`` via ``predict_mouth_boxes``
+                  (the production path, ``lipread-e2e --landmark-checkpoint``)
+  (c) geometric — the fixed face-box fraction fallback
+                  (``mouth_box_from_face``)
+
+then train the SAME ViViT word classifier per source (same seed, steps,
+config) and report held-out word accuracy. Pass criterion: (b) within ~2
+points of (a) and clearly above (c).
+
+Shifted distribution: mouth geometry sampled from the r4 shifted eval's
+ranges (cx 0.3–0.7, cy 0.5–0.85 — half that range is OUTSIDE the geometric
+estimate's fixed [0.62, 0.92] rows), plus illumination ramp, 2× sensor
+noise, and teeth — nuisances the landmark net never saw verbatim in
+training (its curriculum is independently parameterized, train_landmark).
+
+Run: python scripts/prove_landmark_e2e.py [--landmark-steps 2000]
+Writes landmark_e2e_proof_r5.json.
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lipreading_video_generation_tpu.utils.compile_cache import (
+    enable_persistent_cache,
+)
+
+enable_persistent_cache(
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir,
+                 ".jax_cache_tpu"),
+    min_compile_secs=1.0,
+)
+
+
+WORD_RATE_HZ = [0.5, 2.5, 4.5, 7.0]
+WORD_PEAK = [1.0, 0.5, 0.85, 0.35]
+FPS = 25.0
+
+
+def render_shifted_word_clips(n_clips, frames, img, seed):
+    """(clips (N, T, img, img, 1) float [0,1], labels (N,), oracle boxes
+    (N, T, 4) y1y2x1x2 pixels). Uses the landmark module's face renderer so
+    the visual family matches what the regressor knows, with the r4 shifted
+    eval's geometry ranges + photometric nuisances layered on."""
+    from lipreading_video_generation_tpu.models.lip_landmark import _render_faces
+
+    rng = np.random.default_rng(seed)
+    n_words = len(WORD_RATE_HZ)
+    labels = np.arange(n_clips) % n_words          # balanced classes
+    # per-clip static geometry (shifted ranges — r4 shifted_face_batch)
+    cx = rng.uniform(0.3, 0.7, n_clips)
+    cy = rng.uniform(0.5, 0.85, n_clips)
+    mw = rng.uniform(0.10, 0.22, n_clips)
+    skin = rng.uniform(0.45, 0.9, n_clips)
+    phase = rng.uniform(0, 2 * np.pi, n_clips)
+    # per-frame aperture: word rate + peak, mapped into [0.02, 0.11]
+    t = np.arange(frames) / FPS
+    rate = np.asarray(WORD_RATE_HZ)[labels][:, None]
+    peak = np.asarray(WORD_PEAK)[labels][:, None]
+    env = peak * (0.5 + 0.5 * np.sin(2 * np.pi * rate * t[None] + phase[:, None]))
+    mh = 0.02 + 0.09 * env                          # (N, T)
+
+    # flatten (clip, frame) into one render batch
+    def flat(a):
+        return np.repeat(a, frames)
+
+    noise = 0.06 * rng.standard_normal((n_clips * frames, img, img))
+    imgs, _ = _render_faces(
+        jnp.asarray(flat(cx)), jnp.asarray(flat(cy)), jnp.asarray(flat(mw)),
+        jnp.asarray(mh.reshape(-1)), jnp.asarray(flat(skin)),
+        jnp.asarray(noise), img)
+    imgs = np.asarray(imgs)                         # (N·T, img, img, 1)
+
+    # nuisances: teeth band (60% of clips), illumination ramp
+    yy, xx = np.mgrid[0:img, 0:img].astype(np.float32)
+    yy, xx = (yy + 0.5) / img, (xx + 0.5) / img
+    teeth_on = rng.uniform(size=n_clips) > 0.4
+    phi = rng.uniform(0, 2 * np.pi, n_clips)
+    for i in range(n_clips):
+        sl = slice(i * frames, (i + 1) * frames)
+        if teeth_on[i]:
+            band = (((xx - cx[i]) / (mw[i] * 0.8)) ** 2 <= 1.0)
+            for f in range(frames):
+                m = band & (np.abs(yy - cy[i]) <= mh[i, f] * 0.35)
+                imgs[sl][f][m] = 0.85
+        proj = (xx - 0.5) * np.cos(phi[i]) + (yy - 0.5) * np.sin(phi[i])
+        imgs[sl] = np.clip(imgs[sl] * (1.0 + 0.6 * proj)[None, ..., None], 0, 1)
+
+    clips = imgs.reshape(n_clips, frames, img, img, 1)
+    # oracle mouth boxes per frame (pixel coords, pre-expansion)
+    oy1 = (cy[:, None] - mh) * img
+    oy2 = (cy[:, None] + mh) * img
+    ox1 = (cx[:, None] - mw[:, None]) * img
+    ox2 = (cx[:, None] + mw[:, None]) * img
+    oracle = np.stack([oy1, oy2, np.broadcast_to(ox1, oy1.shape),
+                       np.broadcast_to(ox2, oy1.shape)], axis=-1)
+    return clips, labels.astype(np.int32), oracle.astype(np.float32)
+
+
+def roi_clips_from_boxes(clips01, boxes):
+    """Production ROI extraction (crop 48 → CLAHE → 32 gray) per clip."""
+    from lipreading_video_generation_tpu.pipelines.preprocess import (
+        mouth_roi_pipeline_from_boxes,
+    )
+
+    out = []
+    frames_u8 = np.clip(np.round(clips01 * 255), 0, 255).astype(np.uint8)
+    rgb = np.repeat(frames_u8, 3, axis=-1)
+    for i in range(len(clips01)):
+        out.append(np.asarray(mouth_roi_pipeline_from_boxes(
+            jnp.asarray(rgb[i]), jnp.asarray(boxes[i]))))
+    return out
+
+
+def expand_boxes(boxes, min_size=48):
+    from lipreading_video_generation_tpu.ops.image import expand_box_to_min_size
+
+    flat = boxes.reshape(-1, 4)
+    out = jax.vmap(lambda b: expand_box_to_min_size(b, min_size, min_size))(
+        jnp.asarray(flat))
+    return np.asarray(out).reshape(boxes.shape)
+
+
+def train_and_eval_vivit(roi_clips, labels, num_frames, seed=0, epochs=12):
+    from lipreading_video_generation_tpu.core.config import Config, replace
+    from lipreading_video_generation_tpu.data.datasets import WordClipSampler
+    from lipreading_video_generation_tpu.pipelines import train_vivit
+
+    cfg = Config()
+    cfg = replace(cfg, vivit=replace(
+        cfg.vivit, num_classes=int(labels.max()) + 1, num_frames=num_frames,
+        hidden_size=64, num_layers=4, num_heads=4, mlp_dim=256,
+        batch_size=32, dtype="float32", learning_rate=3e-4), seed=seed)
+    n = len(roi_clips)
+    idx = np.random.default_rng(seed).permutation(n)
+    cut = int(0.8 * n)
+    tr, te = idx[:cut], idx[cut:]
+    tr_s = WordClipSampler([roi_clips[i] for i in tr], labels[tr],
+                           num_frames, seed=seed)
+    te_s = WordClipSampler([roi_clips[i] for i in te], labels[te],
+                           num_frames, seed=seed)
+    bs = cfg.vivit.batch_size
+    state, best = train_vivit.train(
+        cfg, lambda: tr_s.batches(bs),
+        lambda: te_s.batches(bs, shuffle=False), num_epochs=epochs)
+    return float(best["accuracy"])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--landmark-steps", type=int, default=2000)
+    ap.add_argument("--landmark-checkpoint", default=None,
+                    help="reuse a trained landmark checkpoint instead of "
+                         "training one in-run")
+    ap.add_argument("--clips", type=int, default=240)
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--img", type=int, default=96)
+    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="landmark_e2e_proof_r5.json")
+    args = ap.parse_args()
+
+    from lipreading_video_generation_tpu.models import lip_landmark as ll
+    from lipreading_video_generation_tpu.pipelines import train_landmark as tl
+    from lipreading_video_generation_tpu.pipelines.preprocess import (
+        mouth_box_from_face,
+    )
+
+    print("[1/4] rendering shifted word-coded clips", flush=True)
+    clips01, labels, oracle_raw = render_shifted_word_clips(
+        args.clips, args.frames, args.img, args.seed)
+    oracle_boxes = expand_boxes(oracle_raw)
+
+    print("[2/4] landmark net", flush=True)
+    if args.landmark_checkpoint:
+        lm_params = tl.load_params(args.landmark_checkpoint)
+    else:
+        lm_params = tl.train(num_steps=args.landmark_steps, batch_size=128,
+                             seed=args.seed, log_every=500,
+                             augment="full").params
+
+    # per-frame landmark + geometric boxes (whole-frame face box — the
+    # synthetic head fills the frame, matching the r4 shifted eval)
+    face = np.tile(np.asarray([0.0, args.img, 0.0, args.img], np.float32),
+                   (args.frames, 1))
+    frames_u8 = np.repeat(
+        np.clip(np.round(clips01 * 255), 0, 255).astype(np.uint8), 3, axis=-1)
+    lm_boxes = np.stack([
+        np.asarray(ll.predict_mouth_boxes(
+            lm_params, jnp.asarray(frames_u8[i]), jnp.asarray(face)))
+        for i in range(args.clips)])
+    geo_one = np.asarray(mouth_box_from_face(jnp.asarray(face[0])))
+    geo_boxes = np.broadcast_to(geo_one, (args.clips, args.frames, 4)).copy()
+
+    print("[3/4] ROI extraction (production pipeline) per box source",
+          flush=True)
+    rois = {
+        "oracle": roi_clips_from_boxes(clips01, oracle_boxes),
+        "landmark": roi_clips_from_boxes(clips01, lm_boxes),
+        "geometric": roi_clips_from_boxes(clips01, geo_boxes),
+    }
+
+    print("[4/4] ViViT word classifier per box source", flush=True)
+    accs = {}
+    for name, roi in rois.items():
+        accs[name] = train_and_eval_vivit(
+            roi, labels, args.frames, seed=args.seed, epochs=args.epochs)
+        print(f"  {name}: held-out word accuracy {accs[name]:.3f}", flush=True)
+
+    result = {
+        "protocol": "shifted-distribution word-coded clips; same ViViT "
+                    "config/seed per box source; held-out word accuracy",
+        "n_clips": args.clips, "frames": args.frames,
+        "landmark_steps": args.landmark_steps,
+        "acc_oracle": round(accs["oracle"], 4),
+        "acc_landmark": round(accs["landmark"], 4),
+        "acc_geometric": round(accs["geometric"], 4),
+        "landmark_minus_oracle": round(accs["landmark"] - accs["oracle"], 4),
+        "landmark_minus_geometric": round(
+            accs["landmark"] - accs["geometric"], 4),
+        "pass": bool(accs["landmark"] >= accs["oracle"] - 0.02
+                     and accs["landmark"] > accs["geometric"] + 0.05),
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           os.pardir, args.out), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
