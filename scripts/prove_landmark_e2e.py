@@ -89,7 +89,7 @@ def render_shifted_word_clips(n_clips, frames, img, seed):
         jnp.asarray(flat(cx)), jnp.asarray(flat(cy)), jnp.asarray(flat(mw)),
         jnp.asarray(mh.reshape(-1)), jnp.asarray(flat(skin)),
         jnp.asarray(noise), img)
-    imgs = np.asarray(imgs)                         # (N·T, img, img, 1)
+    imgs = np.array(imgs)              # writable host copy (N·T, img, img, 1)
 
     # nuisances: teeth band (60% of clips), illumination ramp
     yy, xx = np.mgrid[0:img, 0:img].astype(np.float32)
@@ -141,7 +141,8 @@ def expand_boxes(boxes, min_size=48):
     return np.asarray(out).reshape(boxes.shape)
 
 
-def train_and_eval_vivit(roi_clips, labels, num_frames, seed=0, epochs=12):
+def train_and_eval_vivit(roi_clips, labels, num_frames, seed=0, epochs=12,
+                         lr=1e-3):
     from lipreading_video_generation_tpu.core.config import Config, replace
     from lipreading_video_generation_tpu.data.datasets import WordClipSampler
     from lipreading_video_generation_tpu.pipelines import train_vivit
@@ -150,7 +151,8 @@ def train_and_eval_vivit(roi_clips, labels, num_frames, seed=0, epochs=12):
     cfg = replace(cfg, vivit=replace(
         cfg.vivit, num_classes=int(labels.max()) + 1, num_frames=num_frames,
         hidden_size=64, num_layers=4, num_heads=4, mlp_dim=256,
-        batch_size=32, dtype="float32", learning_rate=3e-4), seed=seed)
+        batch_size=32, dtype="float32", learning_rate=lr,
+        lr_step_epochs=max(8, epochs // 3)), seed=seed)
     n = len(roi_clips)
     idx = np.random.default_rng(seed).permutation(n)
     cut = int(0.8 * n)
@@ -175,7 +177,14 @@ def main():
     ap.add_argument("--clips", type=int, default=240)
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--img", type=int, default=96)
-    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--aggregate", choices=("none", "median", "open"),
+                    default="open",
+                    help="temporal aggregation of the predicted boxes "
+                         "(reference box-smoothing semantics, "
+                         "inference.py:61-68): none=per-frame, median, or "
+                         "open=median over the widest-aperture half")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="landmark_e2e_proof_r5.json")
     args = ap.parse_args()
@@ -192,12 +201,12 @@ def main():
     oracle_boxes = expand_boxes(oracle_raw)
 
     print("[2/4] landmark net", flush=True)
-    if args.landmark_checkpoint:
+    if args.landmark_checkpoint and os.path.isdir(args.landmark_checkpoint):
         lm_params = tl.load_params(args.landmark_checkpoint)
     else:
         lm_params = tl.train(num_steps=args.landmark_steps, batch_size=128,
-                             seed=args.seed, log_every=500,
-                             augment="full").params
+                             seed=args.seed, log_every=500, augment="full",
+                             checkpoint_dir=args.landmark_checkpoint).params
 
     # per-frame landmark + geometric boxes (whole-frame face box — the
     # synthetic head fills the frame, matching the r4 shifted eval)
@@ -205,10 +214,34 @@ def main():
                    (args.frames, 1))
     frames_u8 = np.repeat(
         np.clip(np.round(clips01 * 255), 0, 255).astype(np.uint8), 3, axis=-1)
-    lm_boxes = np.stack([
+    # raw (pre-min-size) per-frame predictions so temporal aggregation can
+    # reason about the predicted aperture
+    raw = np.stack([
         np.asarray(ll.predict_mouth_boxes(
-            lm_params, jnp.asarray(frames_u8[i]), jnp.asarray(face)))
+            lm_params, jnp.asarray(frames_u8[i]), jnp.asarray(face),
+            min_size=1))
         for i in range(args.clips)])
+    if args.aggregate == "none":
+        lm_boxes = expand_boxes(raw)
+    elif args.aggregate == "median":
+        # temporal smoothing of the predicted boxes (the reference smooths
+        # face boxes over T=5, gan-model/inference.py:61-68): per-frame
+        # regression jitter moves the crop window between frames, which
+        # corrupts the very motion signal the classifier reads; the
+        # per-clip median keeps the crop stable while the mouth's motion
+        # stays visible INSIDE the crop
+        med = np.median(raw, axis=1, keepdims=True)
+        lm_boxes = expand_boxes(np.broadcast_to(med, raw.shape).copy())
+    else:  # "open": aggregate over the widest-aperture frames — the
+        # open-mouth frames are the easy detections; near-closed mouths
+        # are intrinsically ambiguous (a generic serving heuristic, not a
+        # renderer-specific tune)
+        heights = raw[:, :, 1] - raw[:, :, 0]
+        order = np.argsort(heights, axis=1)
+        top = order[:, heights.shape[1] // 2:]
+        sel = np.take_along_axis(raw, top[..., None], axis=1)
+        med = np.median(sel, axis=1, keepdims=True)
+        lm_boxes = expand_boxes(np.broadcast_to(med, raw.shape).copy())
     geo_one = np.asarray(mouth_box_from_face(jnp.asarray(face[0])))
     geo_boxes = np.broadcast_to(geo_one, (args.clips, args.frames, 4)).copy()
 
@@ -224,7 +257,8 @@ def main():
     accs = {}
     for name, roi in rois.items():
         accs[name] = train_and_eval_vivit(
-            roi, labels, args.frames, seed=args.seed, epochs=args.epochs)
+            roi, labels, args.frames, seed=args.seed, epochs=args.epochs,
+            lr=args.lr)
         print(f"  {name}: held-out word accuracy {accs[name]:.3f}", flush=True)
 
     result = {
@@ -232,6 +266,7 @@ def main():
                     "config/seed per box source; held-out word accuracy",
         "n_clips": args.clips, "frames": args.frames,
         "landmark_steps": args.landmark_steps,
+        "box_aggregation": args.aggregate,
         "acc_oracle": round(accs["oracle"], 4),
         "acc_landmark": round(accs["landmark"], 4),
         "acc_geometric": round(accs["geometric"], 4),
